@@ -1,0 +1,27 @@
+"""QP assembly and solvers for the data-driven MPC formulations."""
+
+from direct_data_driven_mpc_tpu.qp.spec import (
+    DataDrivenMPCType,
+    SlackVarConstraintTypes,
+    QPSpec,
+)
+from direct_data_driven_mpc_tpu.qp.assembly import build_qp_spec
+from direct_data_driven_mpc_tpu.qp.solution_map import (
+    SolutionMap,
+    compute_solution_map,
+)
+from direct_data_driven_mpc_tpu.qp.admm import (
+    ADMMSolver,
+    compute_admm_solver,
+)
+
+__all__ = [
+    "DataDrivenMPCType",
+    "SlackVarConstraintTypes",
+    "QPSpec",
+    "build_qp_spec",
+    "SolutionMap",
+    "compute_solution_map",
+    "ADMMSolver",
+    "compute_admm_solver",
+]

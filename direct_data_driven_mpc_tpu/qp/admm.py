@@ -1,0 +1,180 @@
+"""Fixed-iteration ADMM solver for the CONVEX slack-constrained variant.
+
+The Robust scheme with ``SlackVarConstraintTypes.CONVEX`` adds one
+inequality to the otherwise equality-constrained QP (reference
+direct_data_driven_mpc_controller.py:658-675, paper Remark 3):
+
+    || sigma[0, L-1] ||_inf <= c * eps_max
+
+i.e. a per-coordinate box on the prediction segment of sigma. We solve
+it with ADMM on the splitting ``s = E z`` (E selects sigma_pred rows),
+``s in Box``:
+
+    z-step: min_z z^T(H/2)z + g^T z + (rho/2)||Ez - s + w||^2  s.t. Az=b
+    s-step: s = clip(Ez + w, -bound, +bound)
+    w-step: w += Ez - s
+
+The z-step's KKT matrix ``[[H + rho E^T E, A^T], [A, 0]]`` is CONSTANT
+(rho fixed), so it is pseudo-inverted once at init and each iteration
+reduces to a ``(nbox, nbox)`` matvec in the projected space ``v = Ez``
+(nbox = L*p = 60 for the four-tank benchmark) plus a clip -- exactly the
+matmul+elementwise shape XLA fuses well, with no data-dependent control
+flow, so the whole solve vmaps over scenario batches and scans over
+time. Convergence is reported as a residual-based flag carried through
+the batch (no exceptions inside vmapped code; SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from direct_data_driven_mpc_tpu.qp.spec import QPSpec
+
+
+class ADMMSolver(NamedTuple):
+    """Device-resident ADMM operator (a JAX pytree).
+
+    Reduced-space iteration maps (v = E z):
+        v = v_c + V_theta theta + V_s (s - w)
+    Final extraction maps:
+        u    = u_c + U_theta theta + U_s (s - w)
+        cost = [theta; t]^T P [theta; t] + q . [theta; t] + r,  t = s - w
+    """
+
+    v_c: jax.Array  # (nbox,)
+    V_theta: jax.Array  # (nbox, n_theta)
+    V_s: jax.Array  # (nbox, nbox)
+    u_c: jax.Array  # (L*m,)
+    U_theta: jax.Array  # (L*m, n_theta)
+    U_s: jax.Array  # (L*m, nbox)
+    cost_P: jax.Array  # (n_theta + nbox, n_theta + nbox)
+    cost_q: jax.Array  # (n_theta + nbox,)
+    cost_r: jax.Array  # ()
+    bound: jax.Array  # () box half-width: c * eps_max
+    rho: jax.Array  # () penalty parameter
+
+
+class ADMMState(NamedTuple):
+    s: jax.Array  # (nbox,) box-projected copy of sigma_pred
+    w: jax.Array  # (nbox,) scaled dual
+
+
+class ADMMStats(NamedTuple):
+    primal_residual: jax.Array  # () ||Ez - s||_inf at exit
+    dual_residual: jax.Array  # () rho * ||s - s_prev||_inf at exit
+    converged: jax.Array  # () bool at tolerance 1e-8
+
+
+def compute_admm_solver(
+    spec: QPSpec, rho: float | None = None, dtype=jnp.float32
+) -> ADMMSolver:
+    """Pre-factorize the ADMM z-step for one problem spec (host, f64)."""
+    if spec.sigma_bound is None:
+        raise ValueError(
+            "ADMM solver requires a CONVEX slack constraint (sigma_bound)."
+        )
+    H, g, A = spec.H, spec.g, spec.A
+    nz, nc = spec.nz, spec.nc
+    box = spec.sigma_pred_slice
+    nbox = box.stop - box.start
+
+    if rho is None:
+        # Match the curvature of the sigma block (Hessian 2*lamb_sigma)
+        # so the ADMM spectral ratio is well-scaled for this family.
+        rho = float(np.median(np.diag(H)[box.start : box.stop]))
+        rho = max(rho, 1.0)
+
+    E = np.zeros((nbox, nz))
+    E[np.arange(nbox), np.arange(box.start, box.stop)] = 1.0
+
+    H_rho = H + rho * E.T @ E
+    K = np.zeros((nz + nc, nz + nc))
+    K[:nz, :nz] = H_rho
+    K[:nz, nz:] = A.T
+    K[nz:, :nz] = A
+    K_pinv = np.linalg.pinv(K)
+
+    z_c = (K_pinv @ np.concatenate([-g, spec.b_const]))[:nz]
+    rhs_theta = np.zeros((nz + nc, spec.S.shape[1]))
+    rhs_theta[nz:, :] = spec.S
+    Z_theta = (K_pinv @ rhs_theta)[:nz, :]
+    rhs_s = np.zeros((nz + nc, nbox))
+    rhs_s[:nz, :] = rho * E.T
+    Z_s = (K_pinv @ rhs_s)[:nz, :]
+
+    u_sl = spec.u_pred_slice
+
+    # Cost as a quadratic in [theta; t] with t = s - w.
+    Z_full = np.concatenate([Z_theta, Z_s], axis=1)
+    HZ = H @ Z_full
+    cost_P = 0.5 * Z_full.T @ HZ
+    cost_P = 0.5 * (cost_P + cost_P.T)
+    cost_q = Z_full.T @ (H @ z_c + g)
+    cost_r = 0.5 * z_c @ H @ z_c + g @ z_c + spec.r0
+
+    return ADMMSolver(
+        v_c=jnp.asarray(E @ z_c, dtype=dtype),
+        V_theta=jnp.asarray(E @ Z_theta, dtype=dtype),
+        V_s=jnp.asarray(E @ Z_s, dtype=dtype),
+        u_c=jnp.asarray(z_c[u_sl], dtype=dtype),
+        U_theta=jnp.asarray(Z_theta[u_sl], dtype=dtype),
+        U_s=jnp.asarray(Z_s[u_sl], dtype=dtype),
+        cost_P=jnp.asarray(cost_P, dtype=dtype),
+        cost_q=jnp.asarray(cost_q, dtype=dtype),
+        cost_r=jnp.asarray(cost_r, dtype=dtype),
+        bound=jnp.asarray(spec.sigma_bound, dtype=dtype),
+        rho=jnp.asarray(rho, dtype=dtype),
+    )
+
+
+def admm_solve(
+    solver: ADMMSolver,
+    theta: jax.Array,
+    num_iters: int = 100,
+    state: ADMMState | None = None,
+    tol: float = 1e-8,
+) -> Tuple[jax.Array, jax.Array, ADMMState, ADMMStats]:
+    """Run ``num_iters`` ADMM iterations for the past window ``theta``.
+
+    Returns ``(u_opt, cost, state, stats)`` where ``u_opt`` is the
+    flattened optimal input sequence ``ubar*[0, L-1]`` and ``state`` can
+    be fed back in as a warm start at the next closed-loop step (the
+    optimal active set changes slowly along a trajectory).
+    """
+    nbox = solver.v_c.shape[0]
+    dtype = solver.v_c.dtype
+    if state is None:
+        state = ADMMState(
+            s=jnp.zeros(nbox, dtype=dtype), w=jnp.zeros(nbox, dtype=dtype)
+        )
+
+    v_theta = solver.V_theta @ theta  # hoisted out of the iteration
+
+    def body(_, carry):
+        s, w, _, _ = carry
+        v = solver.v_c + v_theta + solver.V_s @ (s - w)
+        s_new = jnp.clip(v + w, -solver.bound, solver.bound)
+        w_new = w + v - s_new
+        r_prim = jnp.max(jnp.abs(v - s_new))
+        r_dual = solver.rho * jnp.max(jnp.abs(s_new - s))
+        return (s_new, w_new, r_prim, r_dual)
+
+    zero = jnp.asarray(0.0, dtype=dtype)
+    s, w, r_prim, r_dual = jax.lax.fori_loop(
+        0, num_iters, body, (state.s, state.w, zero, zero)
+    )
+
+    t = s - w
+    u = solver.u_c + solver.U_theta @ theta + solver.U_s @ t
+    tt = jnp.concatenate([theta, t])
+    cost = tt @ (solver.cost_P @ tt) + solver.cost_q @ tt + solver.cost_r
+    stats = ADMMStats(
+        primal_residual=r_prim,
+        dual_residual=r_dual,
+        converged=(r_prim <= tol) & (r_dual <= tol),
+    )
+    return u, cost, ADMMState(s=s, w=w), stats

@@ -1,0 +1,147 @@
+"""Exact affine per-step solution operator for equality-constrained QPs.
+
+The TPU-first key insight (SURVEY.md section 7.1): for the slack-``NONE``
+variants (the default configuration) the per-step problem
+
+    min_z  z^T (H/2) z + g^T z      s.t.  A z = b_const + S theta
+
+has a KKT system ``K [z; nu] = [-g; b]`` whose matrix ``K`` is constant
+over the entire closed loop -- only ``theta = [u_past; y_past]``
+(n*(m+p) numbers, 16 for the four-tank benchmark) changes per step. The
+reference re-canonicalizes and re-solves a generic convex program with
+CVXPY every step (direct_data_driven_mpc_controller.py:389-407); here we
+compute the pseudoinverse of ``K`` ONCE at init (host, float64) and the
+entire per-step QP solve collapses to one affine map
+
+    z*(theta) = z_base + Z @ theta,
+
+i.e. a ``(nz, n_theta)`` matvec, and the optimal control input to one
+``(L*m, n_theta)`` matvec. This is exact (KKT residual ~ 1e-12), not an
+iterative approximation, and it vmaps trivially over scenario batches.
+
+Why the pseudoinverse: for NOMINAL controllers the KKT matrix is
+singular (alpha is unregularized and underdetermined), but the system is
+consistent and every KKT point is a global minimizer of the convex QP;
+``pinv`` selects the minimum-norm multiplier/alpha representative while
+``ubar``/``ybar`` (and hence the applied input) are unique because R, Q
+are positive definite on the prediction segment.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from direct_data_driven_mpc_tpu.qp.spec import QPSpec
+
+
+class SolutionMap(NamedTuple):
+    """Device-resident affine solution operator (a JAX pytree).
+
+    ``z*(theta) = z_base + Z theta``;
+    ``u*(theta) = u_base + U_gain theta`` (the ubar[0, L-1] segment);
+    ``cost(theta) = theta^T P theta + q . theta + r`` (the reference's
+    objective value, ref :769-778).
+    """
+
+    z_base: jax.Array  # (nz,)
+    Z: jax.Array  # (nz, n_theta)
+    u_base: jax.Array  # (L*m,)
+    U_gain: jax.Array  # (L*m, n_theta)
+    cost_P: jax.Array  # (n_theta, n_theta)
+    cost_q: jax.Array  # (n_theta,)
+    cost_r: jax.Array  # ()
+
+
+def compute_solution_operator_np(spec: QPSpec) -> dict:
+    """Host float64 computation of the affine operator (single source of
+    truth for both the numpy and the device paths)."""
+    H, g, A = spec.H, spec.g, spec.A
+    nz, nc = spec.nz, spec.nc
+
+    K = np.zeros((nz + nc, nz + nc))
+    K[:nz, :nz] = H
+    K[:nz, nz:] = A.T
+    K[nz:, :nz] = A
+    K_pinv = np.linalg.pinv(K)
+
+    rhs0 = np.concatenate([-g, spec.b_const])
+    sol0 = K_pinv @ rhs0
+    z_base = sol0[:nz]
+
+    rhs_theta = np.zeros((nz + nc, spec.S.shape[1]))
+    rhs_theta[nz:, :] = spec.S
+    Z = (K_pinv @ rhs_theta)[:nz, :]
+
+    # Objective value as an explicit quadratic in theta (evaluating the
+    # reference's cost at the optimum, ref :708-716):
+    #   cost(theta) = 0.5 z^T H z + g^T z + r0,  z = z_base + Z theta.
+    Hz = H @ Z
+    cost_P = 0.5 * Z.T @ Hz
+    cost_P = 0.5 * (cost_P + cost_P.T)
+    cost_q = Z.T @ (H @ z_base + g)
+    cost_r = 0.5 * z_base @ H @ z_base + g @ z_base + spec.r0
+
+    u_sl = spec.u_pred_slice
+    return {
+        "z_base": z_base,
+        "Z": Z,
+        "u_base": z_base[u_sl],
+        "U_gain": Z[u_sl],
+        "cost_P": cost_P,
+        "cost_q": cost_q,
+        "cost_r": np.float64(cost_r),
+    }
+
+
+def compute_solution_map(spec: QPSpec, dtype=jnp.float32) -> SolutionMap:
+    """Factorize the constant KKT system and derive the affine operator.
+
+    Runs once at controller construction on the host in float64; the
+    returned operator is cast to ``dtype`` for the on-device hot loop.
+    """
+    op = compute_solution_operator_np(spec)
+    return SolutionMap(
+        **{k: jnp.asarray(v, dtype=dtype) for k, v in op.items()}
+    )
+
+
+def solve_full(sol_map: SolutionMap, theta: jax.Array) -> jax.Array:
+    """Full optimal decision vector ``z*(theta)`` (one matvec)."""
+    return sol_map.z_base + sol_map.Z @ theta
+
+
+def solve_u(sol_map: SolutionMap, theta: jax.Array) -> jax.Array:
+    """Optimal input sequence ``ubar*[0, L-1]`` flattened, ``(L*m,)``."""
+    return sol_map.u_base + sol_map.U_gain @ theta
+
+
+def optimal_cost(sol_map: SolutionMap, theta: jax.Array) -> jax.Array:
+    """Optimal objective value at ``theta`` (scalar)."""
+    return theta @ (sol_map.cost_P @ theta) + sol_map.cost_q @ theta + (
+        sol_map.cost_r
+    )
+
+
+def kkt_residuals(spec: QPSpec, z: np.ndarray, theta: np.ndarray) -> dict:
+    """Host-side diagnostic: stationarity/primal residuals of a solution.
+
+    Used by the test suite to certify exactness (no CVXPY needed: an
+    exact KKT point of a convex QP IS the optimum).
+    """
+    H, g, A = spec.H, spec.g, spec.A
+    b = spec.b_const + spec.S @ theta
+    primal = A @ z - b
+    # Stationarity: H z + g + A^T nu = 0 for some nu -> residual is the
+    # projection of (H z + g) onto null(A^T)'s complement mismatch; use
+    # least-squares nu.
+    grad = H @ z + g
+    nu, *_ = np.linalg.lstsq(A.T, -grad, rcond=None)
+    stationarity = grad + A.T @ nu
+    return {
+        "primal_inf": float(np.abs(primal).max(initial=0.0)),
+        "stationarity_inf": float(np.abs(stationarity).max(initial=0.0)),
+    }
