@@ -1,0 +1,224 @@
+"""Fused closed-loop MPC engine: one ``lax.scan`` per rollout.
+
+Implements the paper's Algorithm 1 (1-step) and Algorithm 2 (n-step)
+closed-loop schemes with the same semantics as the reference's Python
+hot loop (``utilities/controller/controller_operation.py:201-331``):
+
+    every n_mpc_step steps:
+        solve the QP from the past window theta = [u_past; y_past]
+        for k in 0..n_mpc_step-1:
+            apply ubar*[k]; step the plant; shift the window
+
+but fully fused on-device: the outer loop over solve blocks and the
+inner loop over applied inputs are nested ``lax.scan``s, the QP solve
+is the precomputed affine map (slack NONE) or fixed-iteration ADMM
+(CONVEX), and the whole rollout is jittable, differentiable, and
+``vmap``-able over a scenario axis. Per-step Python/CVXPY overhead --
+the reference's dominant cost (SURVEY.md section 3.3) -- is zero.
+
+Trailing partial blocks (n_steps not divisible by n_mpc_step) follow
+the reference: the loop runs ``ceil`` blocks and outputs are trimmed to
+``n_steps`` (the reference's inner loop stops at ``min(t+n_mpc_step,
+n_steps)``; trimmed steps here never influence returned data because
+the window updates they produce are discarded with them).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from direct_data_driven_mpc_tpu.ops.lti import LTIParams, lti_step
+from direct_data_driven_mpc_tpu.qp.admm import (
+    ADMMSolver,
+    ADMMState,
+    admm_solve,
+)
+from direct_data_driven_mpc_tpu.qp.solution_map import (
+    SolutionMap,
+    optimal_cost,
+    solve_u,
+)
+
+
+class ClosedLoopResult(NamedTuple):
+    """Outputs of one closed-loop rollout (arrays lead with time)."""
+
+    u_sys: jax.Array  # (n_steps, m) applied inputs
+    y_sys: jax.Array  # (n_steps, p) measured outputs
+    costs: jax.Array  # (n_blocks,) optimal QP cost per solve
+    converged: jax.Array  # (n_blocks,) solver convergence lane (bool)
+    x_final: jax.Array  # (ns,) final plant state (pre-trim semantics)
+    u_past: jax.Array  # (n, m) final past-input window
+    y_past: jax.Array  # (n, p) final past-output window
+
+
+SolveFn = Callable[[jax.Array, Optional[ADMMState]],
+                   Tuple[jax.Array, jax.Array, Optional[ADMMState],
+                         jax.Array]]
+
+
+def make_solve_fn(
+    solver: Union[SolutionMap, ADMMSolver],
+    m: int,
+    admm_iters: int = 100,
+    admm_tol: float = 1e-6,
+) -> Tuple[SolveFn, Optional[ADMMState]]:
+    """Wrap a solver into ``(u_seq(L, m), cost, state, converged)``.
+
+    Returns the solve function plus the initial solver state (None for
+    the exact affine map; a zeroed ADMM state, warm-started across
+    closed-loop steps, for the CONVEX variant).
+    """
+    if isinstance(solver, SolutionMap):
+
+        def solve(theta, state):
+            u_seq = solve_u(solver, theta).reshape(-1, m)
+            cost = optimal_cost(solver, theta)
+            # The affine map is an exact KKT solution: "optimal" unless
+            # numerics blew up (tracked as a finiteness lane).
+            ok = jnp.all(jnp.isfinite(u_seq)) & jnp.isfinite(cost)
+            return u_seq, cost, state, ok
+
+        return solve, None
+
+    if isinstance(solver, ADMMSolver):
+        nbox = solver.v_c.shape[0]
+        dtype = solver.v_c.dtype
+        init_state = ADMMState(
+            s=jnp.zeros(nbox, dtype=dtype), w=jnp.zeros(nbox, dtype=dtype)
+        )
+
+        def solve(theta, state):
+            u, cost, new_state, stats = admm_solve(
+                solver, theta, num_iters=admm_iters, state=state,
+                tol=admm_tol,
+            )
+            return u.reshape(-1, m), cost, new_state, stats.converged
+
+        return solve, init_state
+
+    if isinstance(solver, tuple) and len(solver) == 2 and callable(solver[0]):
+        # Escape hatch for custom solve functions (e.g. mesh-sharded
+        # gain application in parallel/mesh.py): (solve_fn, init_state).
+        return solver
+
+    raise TypeError(f"Unsupported solver type: {type(solver)!r}")
+
+
+def closed_loop_rollout(
+    plant: LTIParams,
+    solver: Union[SolutionMap, ADMMSolver],
+    x0: jax.Array,
+    u_past: jax.Array,
+    y_past: jax.Array,
+    W: jax.Array,
+    n_steps: int,
+    n_mpc_step: int = 1,
+    admm_iters: int = 100,
+) -> ClosedLoopResult:
+    """Run the closed loop for ``n_steps`` with noise sequence ``W``.
+
+    Args:
+        plant: LTI plant matrices (the simulated "real" system).
+        solver: per-step QP solver operator.
+        x0: ``(ns,)`` initial plant state.
+        u_past: ``(n, m)`` past-input window seeding theta.
+        y_past: ``(n, p)`` past-output window.
+        W: ``(n_steps, p)`` measurement noise (injectable for parity
+           tests, reference pre-draws it at controller_operation.py:263).
+        n_steps: closed-loop length (static).
+        n_mpc_step: inputs applied per solve (Algorithm 2), static.
+        admm_iters: ADMM iterations per solve (CONVEX variant only).
+
+    Returns:
+        :class:`ClosedLoopResult`.
+    """
+    m = u_past.shape[1]
+    p = y_past.shape[1]
+    dtype = jnp.asarray(u_past).dtype
+    # Keep every carried array in one dtype (mixed f64 constants would
+    # otherwise promote the f32 hot path).
+    plant = LTIParams(
+        *(jnp.asarray(a, dtype=dtype) for a in plant)
+    )
+
+    solve_fn, solver_state0 = make_solve_fn(solver, m, admm_iters=admm_iters)
+
+    n_blocks = math.ceil(n_steps / n_mpc_step)
+    pad = n_blocks * n_mpc_step - n_steps
+    W_pad = jnp.concatenate(
+        [jnp.asarray(W, dtype=dtype),
+         jnp.zeros((pad, p), dtype=dtype)],
+        axis=0,
+    ).reshape(n_blocks, n_mpc_step, p)
+
+    def block_step(carry, w_block):
+        x, up, yp, sstate = carry
+        theta = jnp.concatenate([up.reshape(-1), yp.reshape(-1)])
+        u_seq, cost, sstate, ok = solve_fn(theta, sstate)
+
+        def inner(carry2, kw):
+            x, up, yp = carry2
+            k, w = kw
+            u_k = u_seq[k]
+            x, y = lti_step(plant, x, u_k, w)
+            up = jnp.concatenate([up[1:], u_k[None]], axis=0)
+            yp = jnp.concatenate([yp[1:], y[None]], axis=0)
+            return (x, up, yp), (u_k, y)
+
+        ks = jnp.arange(n_mpc_step)
+        (x, up, yp), (u_blk, y_blk) = jax.lax.scan(
+            inner, (x, up, yp), (ks, w_block)
+        )
+        return (x, up, yp, sstate), (u_blk, y_blk, cost, ok)
+
+    carry0 = (
+        jnp.asarray(x0, dtype=dtype),
+        jnp.asarray(u_past, dtype=dtype),
+        jnp.asarray(y_past, dtype=dtype),
+        solver_state0,
+    )
+    (x, up, yp, _), (u_blocks, y_blocks, costs, oks) = jax.lax.scan(
+        block_step, carry0, W_pad
+    )
+
+    u_sys = u_blocks.reshape(n_blocks * n_mpc_step, m)[:n_steps]
+    y_sys = y_blocks.reshape(n_blocks * n_mpc_step, p)[:n_steps]
+    return ClosedLoopResult(
+        u_sys=u_sys,
+        y_sys=y_sys,
+        costs=costs,
+        converged=oks,
+        x_final=x,
+        u_past=up,
+        y_past=yp,
+    )
+
+
+def build_closed_loop(
+    plant: LTIParams,
+    solver: Union[SolutionMap, ADMMSolver],
+    n_steps: int,
+    n_mpc_step: int = 1,
+    admm_iters: int = 100,
+) -> Callable[[jax.Array, jax.Array, jax.Array, jax.Array],
+              ClosedLoopResult]:
+    """Return a jitted rollout ``(x0, u_past, y_past, W) -> result``.
+
+    The returned function is the single-scenario building block; wrap
+    it in ``jax.vmap`` for Monte-Carlo scenario batches and in
+    ``shard_map`` over a mesh for multi-chip scaling (see
+    ``parallel/``).
+    """
+
+    def run(x0, u_past, y_past, W):
+        return closed_loop_rollout(
+            plant, solver, x0, u_past, y_past, W,
+            n_steps=n_steps, n_mpc_step=n_mpc_step, admm_iters=admm_iters,
+        )
+
+    return jax.jit(run)

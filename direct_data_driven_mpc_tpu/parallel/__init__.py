@@ -1,0 +1,19 @@
+"""Scenario batching (vmap) and device-mesh sharding (shard_map)."""
+
+from direct_data_driven_mpc_tpu.parallel.batch import (
+    batched_closed_loop,
+    draw_noise_batch,
+    make_batched_rollout,
+)
+from direct_data_driven_mpc_tpu.parallel.mesh import (
+    make_mesh_rollout,
+    make_scenario_mesh,
+)
+
+__all__ = [
+    "batched_closed_loop",
+    "draw_noise_batch",
+    "make_batched_rollout",
+    "make_mesh_rollout",
+    "make_scenario_mesh",
+]

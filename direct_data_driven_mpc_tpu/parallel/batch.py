@@ -1,0 +1,81 @@
+"""Monte-Carlo scenario batching of the closed loop via ``vmap``.
+
+The reference simulates exactly one scenario per run with a shared
+NumPy RNG (controller_operation.py:263). Here the scenario axis (noise
+seeds, initial states, past windows) is a leading batch dimension: the
+entire closed loop vmaps because it is pure (SURVEY.md section 7,
+BASELINE.json config 4: 4096 scenarios on one host). Per-scenario
+determinism comes from threefry key splitting -- scenario i's noise
+depends only on (key, i), independent of batch size or device layout.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+import jax
+import jax.numpy as jnp
+
+from direct_data_driven_mpc_tpu.control.loop import (
+    ClosedLoopResult,
+    closed_loop_rollout,
+)
+from direct_data_driven_mpc_tpu.ops.lti import LTIParams
+from direct_data_driven_mpc_tpu.qp.admm import ADMMSolver
+from direct_data_driven_mpc_tpu.qp.solution_map import SolutionMap
+
+
+def draw_noise_batch(
+    key: jax.Array,
+    batch: int,
+    n_steps: int,
+    p: int,
+    eps_max: float,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Bounded uniform measurement noise ``(batch, n_steps, p)`` in
+    ``eps_max * [-1, 1]`` with one threefry fold per scenario."""
+    return eps_max * jax.random.uniform(
+        key, (batch, n_steps, p), minval=-1.0, maxval=1.0, dtype=dtype
+    )
+
+
+def batched_closed_loop(
+    plant: LTIParams,
+    solver: Union[SolutionMap, ADMMSolver, tuple],
+    x0s: jax.Array,  # (B, ns)
+    u_pasts: jax.Array,  # (B, n, m)
+    y_pasts: jax.Array,  # (B, n, p)
+    Ws: jax.Array,  # (B, n_steps, p)
+    n_steps: int,
+    n_mpc_step: int = 1,
+    admm_iters: int = 100,
+) -> ClosedLoopResult:
+    """All scenarios share one solver operator (same Hankel data); the
+    per-scenario state (x0, windows, noise) is batched."""
+
+    def one(x0, up, yp, W):
+        return closed_loop_rollout(
+            plant, solver, x0, up, yp, W,
+            n_steps=n_steps, n_mpc_step=n_mpc_step, admm_iters=admm_iters,
+        )
+
+    return jax.vmap(one)(x0s, u_pasts, y_pasts, Ws)
+
+
+def make_batched_rollout(
+    plant: LTIParams,
+    solver: Union[SolutionMap, ADMMSolver, tuple],
+    n_steps: int,
+    n_mpc_step: int = 1,
+    admm_iters: int = 100,
+) -> Callable[..., ClosedLoopResult]:
+    """Jitted ``(x0s, u_pasts, y_pasts, Ws) -> ClosedLoopResult``."""
+
+    def run(x0s, u_pasts, y_pasts, Ws):
+        return batched_closed_loop(
+            plant, solver, x0s, u_pasts, y_pasts, Ws,
+            n_steps=n_steps, n_mpc_step=n_mpc_step, admm_iters=admm_iters,
+        )
+
+    return jax.jit(run)

@@ -69,10 +69,11 @@ class ADMMStats(NamedTuple):
     converged: jax.Array  # () bool at tolerance 1e-8
 
 
-def compute_admm_solver(
-    spec: QPSpec, rho: float | None = None, dtype=jnp.float32
-) -> ADMMSolver:
-    """Pre-factorize the ADMM z-step for one problem spec (host, f64)."""
+def compute_admm_operator_np(
+    spec: QPSpec, rho: float | None = None
+) -> dict:
+    """Host float64 pre-factorization of the ADMM z-step (single source
+    of truth for both the numpy and the device paths)."""
     if spec.sigma_bound is None:
         raise ValueError(
             "ADMM solver requires a CONVEX slack constraint (sigma_bound)."
@@ -116,19 +117,65 @@ def compute_admm_solver(
     cost_q = Z_full.T @ (H @ z_c + g)
     cost_r = 0.5 * z_c @ H @ z_c + g @ z_c + spec.r0
 
+    return {
+        "v_c": E @ z_c,
+        "V_theta": E @ Z_theta,
+        "V_s": E @ Z_s,
+        "u_c": z_c[u_sl],
+        "U_theta": Z_theta[u_sl],
+        "U_s": Z_s[u_sl],
+        "cost_P": cost_P,
+        "cost_q": cost_q,
+        "cost_r": np.float64(cost_r),
+        "bound": np.float64(spec.sigma_bound),
+        "rho": np.float64(rho),
+    }
+
+
+def compute_admm_solver(
+    spec: QPSpec, rho: float | None = None, dtype=jnp.float32
+) -> ADMMSolver:
+    """Pre-factorize the ADMM z-step for one problem spec and move the
+    operator on-device in ``dtype``."""
+    op = compute_admm_operator_np(spec, rho=rho)
     return ADMMSolver(
-        v_c=jnp.asarray(E @ z_c, dtype=dtype),
-        V_theta=jnp.asarray(E @ Z_theta, dtype=dtype),
-        V_s=jnp.asarray(E @ Z_s, dtype=dtype),
-        u_c=jnp.asarray(z_c[u_sl], dtype=dtype),
-        U_theta=jnp.asarray(Z_theta[u_sl], dtype=dtype),
-        U_s=jnp.asarray(Z_s[u_sl], dtype=dtype),
-        cost_P=jnp.asarray(cost_P, dtype=dtype),
-        cost_q=jnp.asarray(cost_q, dtype=dtype),
-        cost_r=jnp.asarray(cost_r, dtype=dtype),
-        bound=jnp.asarray(spec.sigma_bound, dtype=dtype),
-        rho=jnp.asarray(rho, dtype=dtype),
+        **{k: jnp.asarray(v, dtype=dtype) for k, v in op.items()}
     )
+
+
+def admm_solve_np(
+    op: dict,
+    theta: np.ndarray,
+    num_iters: int = 100,
+    state: tuple | None = None,
+    tol: float = 1e-8,
+) -> tuple:
+    """Host float64 ADMM (same iteration as :func:`admm_solve`): the
+    exact-parity path used by the interactive controller class.
+
+    Returns ``(u, cost, (s, w), (r_prim, r_dual, converged))``.
+    """
+    nbox = op["v_c"].shape[0]
+    s, w = state if state is not None else (np.zeros(nbox), np.zeros(nbox))
+    v_theta = op["V_theta"] @ theta
+    bound = float(op["bound"])
+    rho = float(op["rho"])
+    r_prim = r_dual = np.inf
+    for _ in range(num_iters):
+        v = op["v_c"] + v_theta + op["V_s"] @ (s - w)
+        s_new = np.clip(v + w, -bound, bound)
+        w = w + v - s_new
+        r_prim = float(np.abs(v - s_new).max(initial=0.0))
+        r_dual = rho * float(np.abs(s_new - s).max(initial=0.0))
+        s = s_new
+        if r_prim <= tol and r_dual <= tol:
+            break
+    t = s - w
+    u = op["u_c"] + op["U_theta"] @ theta + op["U_s"] @ t
+    tt = np.concatenate([theta, t])
+    cost = float(tt @ op["cost_P"] @ tt + op["cost_q"] @ tt + op["cost_r"])
+    converged = bool(r_prim <= tol and r_dual <= tol)
+    return u, cost, (s, w), (r_prim, r_dual, converged)
 
 
 def admm_solve(

@@ -1,0 +1,169 @@
+"""End-to-end CLI tests (in-process, headless, small t_sim)."""
+
+import os
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO_ROOT, "examples"))
+
+
+def _run_main(module, argv, monkeypatch, capsys):
+    monkeypatch.setattr(sys, "argv", argv)
+    module.main()
+    return capsys.readouterr()
+
+
+def test_example_cli_host_engine(monkeypatch, capsys):
+    import direct_data_driven_mpc_example as ex
+
+    out = _run_main(
+        ex,
+        [
+            "prog",
+            "--t_sim",
+            "30",
+            "--seed",
+            "0",
+            "--verbose",
+            "1",
+            "--no_plot",
+        ],
+        monkeypatch,
+        capsys,
+    )
+    assert "Simulation finished" in out.out
+
+
+def test_example_cli_fused_engine_matches_host(monkeypatch, capsys):
+    import direct_data_driven_mpc_example as ex
+
+    out = _run_main(
+        ex,
+        [
+            "prog",
+            "--t_sim",
+            "25",
+            "--seed",
+            "1",
+            "--verbose",
+            "1",
+            "--no_plot",
+            "--engine",
+            "fused",
+        ],
+        monkeypatch,
+        capsys,
+    )
+    assert "Simulation finished" in out.out
+
+
+def test_example_cli_nominal_override(monkeypatch, capsys):
+    import direct_data_driven_mpc_example as ex
+
+    out = _run_main(
+        ex,
+        [
+            "prog",
+            "--t_sim",
+            "20",
+            "--seed",
+            "0",
+            "--verbose",
+            "1",
+            "--no_plot",
+            "--controller_type",
+            "Nominal",
+            "--n_mpc_step",
+            "4",
+        ],
+        monkeypatch,
+        capsys,
+    )
+    assert "Nominal" in out.out
+
+
+def test_example_cli_convex_slack(monkeypatch, capsys):
+    import direct_data_driven_mpc_example as ex
+
+    out = _run_main(
+        ex,
+        [
+            "prog",
+            "--t_sim",
+            "15",
+            "--seed",
+            "0",
+            "--verbose",
+            "1",
+            "--no_plot",
+            "--slack_var_const_type",
+            "Convex",
+        ],
+        monkeypatch,
+        capsys,
+    )
+    assert "Simulation finished" in out.out
+
+
+def test_reproduction_cli(monkeypatch, capsys):
+    import robust_data_driven_mpc_reproduction as rep
+
+    out = _run_main(
+        rep,
+        ["prog", "--t_sim", "40", "--seed", "4", "--verbose", "1",
+         "--no_plot"],
+        monkeypatch,
+        capsys,
+    )
+    assert "TEC" in out.out
+    assert "UCON" in out.out
+
+
+def test_plotting_produces_figures(tmp_path):
+    # Exercise the viz layer: static figure + animation export machinery
+    # (figure only; ffmpeg encoding is environment-dependent).
+    from direct_data_driven_mpc_tpu.viz.plots import (
+        create_input_output_figure,
+        plot_input_output,
+        plot_input_output_animation,
+    )
+
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(50, 2))
+    y = rng.normal(size=(50, 2))
+    fig = plot_input_output(
+        u,
+        y,
+        np.array([[1.0], [1.0]]),
+        np.array([[0.65], [0.77]]),
+        initial_steps=20,
+        show=False,
+    )
+    assert fig is not None
+    path = tmp_path / "static.png"
+    fig.savefig(path)
+    assert path.stat().st_size > 0
+
+    anim = plot_input_output_animation(
+        u,
+        y,
+        np.array([[1.0], [1.0]]),
+        np.array([[0.65], [0.77]]),
+        initial_steps=20,
+        points_per_frame=10,
+    )
+    assert anim is not None
+
+    fig2, axs_u, axs_y = create_input_output_figure(m=2, p=2)
+    assert len(axs_u) == 2 and len(axs_y) == 2
+
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
