@@ -1,0 +1,311 @@
+"""Condensed linear closed-loop engine.
+
+For slack-``NONE`` controllers the per-step QP solution is an exact
+affine map of the past window (qp/solution_map.py), and the plant is
+linear -- so the ENTIRE closed-loop system (plant state + measurement
+window under MPC feedback) is an affine time-invariant recursion:
+
+    s_{t+1} = M s_t + c + N w_t,        s = [x; u_past; y_past]
+    [u_t; y_t] = O_s s_t + o_c + O_w w_t
+
+with ``s`` only ``ns + n(m+p)`` numbers (20 for the four-tank
+benchmark). ``build_affine_block_map`` composes this symbolically in
+float64 on the host, over one Algorithm-2 solve block (``n_mpc_step``
+plant steps per QP solve) times ``solves_per_block`` solves. The device
+rollout is then a ``lax.scan`` whose per-iteration work is ONE batched
+MXU matmul ``(B, S + K nw) @ (S + K nw, S + outputs)`` covering K
+solves at once -- sequential-step overhead amortizes K-fold and the
+matmul shapes reach MXU-friendly sizes (K=64, p=2 -> 128-wide
+operands). This is the mathematical speed-of-light formulation for
+this problem class: the QP is pre-solved into the recursion.
+
+Per-solve optimal costs are NOT computed inside the sequential loop
+(they are quadratic forms, awkward to batch there); instead the state
+at every solve time is emitted and the costs are evaluated afterwards
+in one vectorized quadratic-form pass over all (B x n_solves) states.
+
+This engine is an exact algebraic condensation of
+``control/loop.py::closed_loop_rollout`` (identical trajectories up to
+float rounding; asserted in tests/test_linear_engine.py). The generic
+engine remains the reference path and the only path for the ADMM
+(CONVEX slack) variant, whose clip nonlinearity does not condense.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
+from direct_data_driven_mpc_tpu.ops.lti import LTIParams
+
+
+class AffineBlockMap(NamedTuple):
+    """Device-resident condensed multi-solve block map (a JAX pytree).
+
+    Row convention (batch leads):
+        s'      = s @ M_T   + c    + w @ N_T
+        u_block = s @ OuS_T + ou_c + w @ OuW_T   (K * nb * m outputs)
+        y_block = s @ OyS_T + oy_c + w @ OyW_T   (K * nb * p outputs)
+        s_stack = s @ OsS_T + os_c + w @ OsW_T   (K * S: state at each
+                                                  solve time)
+    with w the flattened noise of the whole block (K * nb * p).
+    Cost of one solve at state s: theta = s[ns:],
+        cost = theta P theta + q . theta + r  (P,q,r in theta space).
+    """
+
+    M_T: jax.Array
+    c: jax.Array
+    N_T: jax.Array
+    OuS_T: jax.Array
+    ou_c: jax.Array
+    OuW_T: jax.Array
+    OyS_T: jax.Array
+    oy_c: jax.Array
+    OyW_T: jax.Array
+    OsS_T: jax.Array
+    os_c: jax.Array
+    OsW_T: jax.Array
+    cost_P: jax.Array  # (n_theta, n_theta)
+    cost_q: jax.Array  # (n_theta,)
+    cost_r: jax.Array  # ()
+    s_star: jax.Array  # (S,) center point (zeros when center=False)
+
+
+def build_affine_block_map(
+    plant: LTIParams,
+    solution_op: dict,
+    n: int,
+    m: int,
+    p: int,
+    n_mpc_step: int = 1,
+    solves_per_block: int = 1,
+    center: bool = True,
+    dtype=jnp.float32,
+) -> AffineBlockMap:
+    """Compose ``solves_per_block`` Algorithm-1/2 solve blocks into one
+    affine map (host, float64).
+
+    Args:
+        plant: LTI plant matrices (the simulated true system; its state
+            dimension may differ from the controller's model order).
+        solution_op: the float64 operator dict from
+            ``compute_solution_operator_np`` (slack-NONE controllers).
+        n, m, p: controller model order / input / output dimensions.
+        n_mpc_step: plant steps per QP solve (Algorithm 2).
+        solves_per_block: QP solves composed per scan iteration.
+        dtype: device dtype of the emitted operator.
+    """
+    A = np.asarray(plant.A, dtype=np.float64)
+    B = np.asarray(plant.B, dtype=np.float64)
+    C = np.asarray(plant.C, dtype=np.float64)
+    Dm = np.asarray(plant.D, dtype=np.float64)
+    ns = A.shape[0]
+    n_theta = n * (m + p)
+    S = ns + n_theta
+    nb = n_mpc_step
+    K = solves_per_block
+    nw = K * nb * p
+    Dfull = S + 1 + nw  # homogeneous coordinates [s; 1; w_block]
+
+    # Row-operator representation: each tracked quantity is a matrix
+    # acting on [s; 1; w].
+    X = np.zeros((ns, Dfull))
+    X[:, :ns] = np.eye(ns)
+    TH = np.zeros((n_theta, Dfull))
+    TH[:, ns : ns + n_theta] = np.eye(n_theta)
+    ONE = np.zeros(Dfull)
+    ONE[S] = 1.0
+
+    # First nb*m rows of the affine QP solution (lazy evaluation --
+    # unused tail rows of the gain never touch the hot path).
+    U_gain = solution_op["U_gain"][: nb * m]  # (nb*m, n_theta)
+    u_base = solution_op["u_base"][: nb * m]
+
+    out_u = np.zeros((K * nb * m, Dfull))
+    out_y = np.zeros((K * nb * p, Dfull))
+    out_s = np.zeros((K * S, Dfull))
+    for k in range(K):
+        # State at this solve time (pre-solve), for post-hoc costs.
+        out_s[k * S : (k + 1) * S] = np.concatenate([X, TH], axis=0)
+        USEQ = U_gain @ TH + np.outer(u_base, ONE)
+        for j in range(nb):
+            t = k * nb + j
+            Uj = USEQ[j * m : (j + 1) * m]  # (m, Dfull)
+            Wj = np.zeros((p, Dfull))
+            Wj[:, S + 1 + t * p : S + 1 + (t + 1) * p] = np.eye(p)
+            Yj = C @ X + Dm @ Uj + Wj
+            X = A @ X + B @ Uj
+            # Shift the measurement window: drop oldest, append current.
+            TH = np.concatenate(
+                [TH[m : n * m], Uj, TH[n * m + p :], Yj], axis=0
+            )
+            out_u[t * m : (t + 1) * m] = Uj
+            out_y[t * p : (t + 1) * p] = Yj
+
+    SP = np.concatenate([X, TH], axis=0)  # (S, Dfull)
+
+    def split(Mrows):
+        return Mrows[:, :S], Mrows[:, S], Mrows[:, S + 1 :]
+
+    M_, c_, N_ = split(SP)
+    OuS, ou_c, OuW = split(out_u)
+    OyS, oy_c, OyW = split(out_y)
+    OsS, os_c, OsW = split(out_s)
+
+    if center:
+        # Re-center on the closed-loop fixed point s* = M s* + c (the
+        # loop is stabilizing, so I - M is invertible). Rolling the
+        # DEVIATION e = s - s* removes the large-magnitude constant
+        # from every f32 add: e decays toward the noise floor instead
+        # of cancelling against O(setpoint)-sized coordinates, which
+        # measurably tightens float32 steady-state accuracy. The
+        # constants fold into the output offsets exactly (float64).
+        s_star = np.linalg.solve(np.eye(S) - M_, c_)
+        ou_c = ou_c + OuS @ s_star
+        oy_c = oy_c + OyS @ s_star
+        os_c = os_c + OsS @ s_star
+        c_ = np.zeros(S)
+    else:
+        s_star = np.zeros(S)
+
+    cast = lambda a: jnp.asarray(a, dtype=dtype)
+    return AffineBlockMap(
+        M_T=cast(M_.T),
+        c=cast(c_),
+        N_T=cast(N_.T),
+        OuS_T=cast(OuS.T),
+        ou_c=cast(ou_c),
+        OuW_T=cast(OuW.T),
+        OyS_T=cast(OyS.T),
+        oy_c=cast(oy_c),
+        OyW_T=cast(OyW.T),
+        OsS_T=cast(OsS.T),
+        os_c=cast(os_c),
+        OsW_T=cast(OsW.T),
+        cost_P=cast(solution_op["cost_P"]),
+        cost_q=cast(solution_op["cost_q"]),
+        cost_r=cast(solution_op["cost_r"]),
+        s_star=cast(s_star),
+    )
+
+
+def _block_meta(block_map: AffineBlockMap, m: int, p: int):
+    """Returns (S, K, nb): state dim, solves per block, steps per
+    solve -- all recovered from operator shapes."""
+    S = block_map.M_T.shape[0]
+    total_p = block_map.oy_c.shape[0]
+    K = block_map.os_c.shape[0] // S
+    nb = total_p // (K * p)
+    return S, K, nb
+
+
+def linear_closed_loop_rollout(
+    block_map: AffineBlockMap,
+    x0: jax.Array,
+    u_past: jax.Array,
+    y_past: jax.Array,
+    W: jax.Array,
+    n_steps: int,
+    n_mpc_step: int = 1,
+) -> ClosedLoopResult:
+    """Rollout via the condensed affine recursion (single scenario; wrap
+    in ``vmap`` for batches). Interface-compatible with
+    ``closed_loop_rollout``: returns per-step ``u_sys``/``y_sys`` and
+    per-solve ``costs`` trimmed to ``n_steps``."""
+    m = u_past.shape[1]
+    p = y_past.shape[1]
+    dtype = block_map.M_T.dtype
+    S, K, nb = _block_meta(block_map, m, p)
+    ns = S - u_past.size - y_past.size
+    assert nb == n_mpc_step, (
+        f"block map built for n_mpc_step={nb}, called with {n_mpc_step}"
+    )
+    steps_per_outer = K * n_mpc_step
+
+    n_solves = math.ceil(n_steps / n_mpc_step)
+    n_outer = math.ceil(n_steps / steps_per_outer)
+    pad = n_outer * steps_per_outer - n_steps
+    W_pad = jnp.concatenate(
+        [jnp.asarray(W, dtype=dtype), jnp.zeros((pad, p), dtype=dtype)],
+        axis=0,
+    ).reshape(n_outer, steps_per_outer * p)
+
+    # Roll the deviation e = s - s_star (s_star is zero when the map
+    # was built uncentered); emitted outputs are absolute either way.
+    s0 = (
+        jnp.concatenate(
+            [
+                jnp.asarray(x0, dtype=dtype).reshape(-1),
+                jnp.asarray(u_past, dtype=dtype).reshape(-1),
+                jnp.asarray(y_past, dtype=dtype).reshape(-1),
+            ]
+        )
+        - block_map.s_star
+    )
+
+    def block(s, w):
+        # Full-f32 matmul precision: TPU default would run these as
+        # bf16 passes, which visibly drifts 400-step recursions.
+        with jax.default_matmul_precision("highest"):
+            u = s @ block_map.OuS_T + block_map.ou_c + w @ block_map.OuW_T
+            y = s @ block_map.OyS_T + block_map.oy_c + w @ block_map.OyW_T
+            st = (
+                s @ block_map.OsS_T + block_map.os_c + w @ block_map.OsW_T
+            )
+            s_next = s @ block_map.M_T + block_map.c + w @ block_map.N_T
+        return s_next, (u, y, st)
+
+    s_fin, (u_blocks, y_blocks, s_blocks) = jax.lax.scan(block, s0, W_pad)
+    s_fin = s_fin + block_map.s_star
+
+    u_sys = u_blocks.reshape(-1, m)[:n_steps]
+    y_sys = y_blocks.reshape(-1, p)[:n_steps]
+
+    # Post-hoc per-solve costs: one vectorized quadratic-form pass over
+    # the solve-time states (outside the sequential loop).
+    thetas = s_blocks.reshape(-1, S)[:n_solves, ns:]  # (n_solves, n_theta)
+    with jax.default_matmul_precision("highest"):
+        costs = (
+            jnp.einsum("ti,ij,tj->t", thetas, block_map.cost_P, thetas)
+            + thetas @ block_map.cost_q
+            + block_map.cost_r
+        )
+    ok = jnp.isfinite(costs)
+    return ClosedLoopResult(
+        u_sys=u_sys,
+        y_sys=y_sys,
+        costs=costs,
+        converged=ok,
+        x_final=s_fin[:ns],
+        u_past=s_fin[ns : ns + u_past.size].reshape(u_past.shape),
+        y_past=s_fin[ns + u_past.size :].reshape(y_past.shape),
+    )
+
+
+def make_linear_batched_rollout(
+    block_map: AffineBlockMap,
+    n_steps: int,
+    n_mpc_step: int = 1,
+):
+    """Jitted batched rollout ``(x0s, u_pasts, y_pasts, Ws) -> result``.
+
+    The batch dimension rides the leading axis of every matmul, so each
+    scan iteration is one ``(B, S + K nw)``-by-``(S + K nw, outputs)``
+    MXU matmul covering K solves.
+    """
+
+    def run(x0s, u_pasts, y_pasts, Ws):
+        def one(x0, up, yp, W):
+            return linear_closed_loop_rollout(
+                block_map, x0, up, yp, W,
+                n_steps=n_steps, n_mpc_step=n_mpc_step,
+            )
+
+        return jax.vmap(one)(x0s, u_pasts, y_pasts, Ws)
+
+    return jax.jit(run)

@@ -38,10 +38,12 @@ def lti_step(
     """One plant step. Returns ``(x_next, y)``.
 
     ``x``: ``(n,)`` state, ``u``: ``(m,)`` input, ``w``: ``(p,)``
-    additive measurement noise on the output.
+    additive measurement noise on the output. Matmul precision is
+    pinned to full f32 (TPU-default bf16 passes drift long rollouts).
     """
-    y = params.C @ x + params.D @ u + w
-    x_next = params.A @ x + params.B @ u
+    with jax.default_matmul_precision("highest"):
+        y = params.C @ x + params.D @ u + w
+        x_next = params.A @ x + params.B @ u
     return x_next, y
 
 

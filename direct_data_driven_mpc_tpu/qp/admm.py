@@ -203,7 +203,8 @@ def admm_solve(
 
     def body(_, carry):
         s, w, _, _ = carry
-        v = solver.v_c + v_theta + solver.V_s @ (s - w)
+        with jax.default_matmul_precision("highest"):
+            v = solver.v_c + v_theta + solver.V_s @ (s - w)
         s_new = jnp.clip(v + w, -solver.bound, solver.bound)
         w_new = w + v - s_new
         r_prim = jnp.max(jnp.abs(v - s_new))

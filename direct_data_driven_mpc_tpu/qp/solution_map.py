@@ -111,19 +111,28 @@ def compute_solution_map(spec: QPSpec, dtype=jnp.float32) -> SolutionMap:
 
 def solve_full(sol_map: SolutionMap, theta: jax.Array) -> jax.Array:
     """Full optimal decision vector ``z*(theta)`` (one matvec)."""
-    return sol_map.z_base + sol_map.Z @ theta
+    with jax.default_matmul_precision("highest"):
+        return sol_map.z_base + sol_map.Z @ theta
 
 
 def solve_u(sol_map: SolutionMap, theta: jax.Array) -> jax.Array:
-    """Optimal input sequence ``ubar*[0, L-1]`` flattened, ``(L*m,)``."""
-    return sol_map.u_base + sol_map.U_gain @ theta
+    """Optimal input sequence ``ubar*[0, L-1]`` flattened, ``(L*m,)``.
+
+    Matmul precision is pinned: the TPU default (bf16 passes) visibly
+    drifts closed-loop trajectories over hundreds of steps.
+    """
+    with jax.default_matmul_precision("highest"):
+        return sol_map.u_base + sol_map.U_gain @ theta
 
 
 def optimal_cost(sol_map: SolutionMap, theta: jax.Array) -> jax.Array:
     """Optimal objective value at ``theta`` (scalar)."""
-    return theta @ (sol_map.cost_P @ theta) + sol_map.cost_q @ theta + (
-        sol_map.cost_r
-    )
+    with jax.default_matmul_precision("highest"):
+        return (
+            theta @ (sol_map.cost_P @ theta)
+            + sol_map.cost_q @ theta
+            + sol_map.cost_r
+        )
 
 
 def kkt_residuals(spec: QPSpec, z: np.ndarray, theta: np.ndarray) -> dict:
