@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Benchmark: closed-loop QP solves/s/chip, four-tank Robust scheme.
 
-Runs the BASELINE.json config-4 workload on the default (TPU) platform:
-4096 Monte-Carlo noise scenarios x 400 closed-loop steps of the paper's
-four-tank Robust controller (571-variable QP per step, one solve per
-step), executed by the fused vmapped scan engine in float32.
+Default run = BASELINE.json config 4: 4096 Monte-Carlo noise scenarios
+x 400 closed-loop steps of the paper's four-tank Robust controller
+(571-variable QP per step, one QP solve per step), executed by the
+condensed affine engine (control/linear_engine.py) in float32 with
+full-precision matmuls. Solves are counted per QP solve; every solve's
+applied input, measured output, and optimal cost are produced.
 
 Baseline anchor: the reference implementation re-canonicalizes and
 re-solves a CVXPY problem every step on one CPU core. CVXPY is not
@@ -14,9 +16,14 @@ scratch each step (dense factorize + solve, no canonicalization
 overhead). Real CVXPY per-step time is strictly larger, so the reported
 ``vs_baseline`` ratio UNDERSTATES the true speedup vs the reference.
 
+Extra configs (stderr-only details; the stdout JSON line is always the
+headline config-4 metric unless a config is selected):
+    python bench.py long_horizon   # config 3: L=60, N=800
+    python bench.py large_plant    # config 5 scale: 65536 scenarios,
+                                   # 10x10 plant, in-scan RNG noise
+
 Prints exactly one JSON line on stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Details go to stderr.
 """
 
 from __future__ import annotations
@@ -32,14 +39,10 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_baseline_single_core(ctrl, n_solves: int = 10) -> float:
+def measure_baseline_single_core(spec, theta, n_solves: int = 10) -> float:
     """Single-core reference-style per-step work: rebuild + dense-solve
     the full KKT system from scratch each step. Returns solves/s."""
-    spec = ctrl.spec
     nz, nc = spec.nz, spec.nc
-    theta = np.concatenate(
-        [ctrl.u_past.reshape(-1), ctrl.y_past.reshape(-1)]
-    )
     t0 = time.perf_counter()
     for _ in range(n_solves):
         K = np.zeros((nz + nc, nz + nc))
@@ -47,40 +50,105 @@ def measure_baseline_single_core(ctrl, n_solves: int = 10) -> float:
         K[:nz, nz:] = spec.A.T
         K[nz:, :nz] = spec.A
         rhs = np.concatenate([-spec.g, spec.b_const + spec.S @ theta])
-        # lstsq (the KKT matrix is singular for NOMINAL variants; the
-        # ROBUST default is invertible but we keep one code path).
-        z = np.linalg.solve(
-            K + 1e-12 * np.eye(nz + nc), rhs
-        )
+        z = np.linalg.solve(K + 1e-12 * np.eye(nz + nc), rhs)
         _ = z[spec.u_pred_slice]
     dt = time.perf_counter() - t0
     return n_solves / dt
 
 
-def main() -> None:
+def _controller(N, L, plant_model, rng, n, m, p, u_s, y_s):
+    from direct_data_driven_mpc_tpu.control.controller import (
+        DirectDataDrivenMPCController,
+    )
+    from direct_data_driven_mpc_tpu.qp.spec import (
+        DataDrivenMPCType,
+        SlackVarConstraintTypes,
+    )
+
+    u_d = rng.uniform(-1, 1, (N, m))
+    w_d = plant_model.get_eps_max() * rng.uniform(-1, 1, (N, p))
+    y_d = plant_model.simulate(u_d, w_d, N)
+    return DirectDataDrivenMPCController(
+        n=n, m=m, p=p, u_d=u_d, y_d=y_d, L=L,
+        Q=3.0 * np.eye(p * L), R=1e-4 * np.eye(m * L),
+        u_s=u_s, y_s=y_s,
+        eps_max=plant_model.get_eps_max(),
+        lamb_alpha=0.1 / max(plant_model.get_eps_max(), 1e-12),
+        lamb_sigma=1000.0, c=1.0,
+        slack_var_constraint_type=SlackVarConstraintTypes.NONE,
+        controller_type=DataDrivenMPCType.ROBUST, n_mpc_step=1,
+    )
+
+
+def run_config(config: str) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _four_tank_solver
-    from direct_data_driven_mpc_tpu.parallel.batch import (
-        draw_noise_batch,
-        make_batched_rollout,
+    from direct_data_driven_mpc_tpu.control.linear_engine import (
+        build_affine_block_map,
+        make_linear_batched_rollout,
     )
+    from direct_data_driven_mpc_tpu.models.lti_model import LTIModel
+    from direct_data_driven_mpc_tpu.models.random_lti import (
+        random_stable_lti,
+    )
+    from direct_data_driven_mpc_tpu.parallel.batch import draw_noise_batch
 
     dev = jax.devices()[0]
-    log(f"device: {dev}")
-
-    B = 4096
-    T = 400
+    log(f"device: {dev}; config: {config}")
     dtype = jnp.float32
+    rng = np.random.default_rng(0)
+
+    if config == "large_plant":
+        B, T, K = 65536, 400, 50
+        n = ns = m = p = 10
+        N, L = 600, 30
+        plant_model = random_stable_lti(seed=0, ns=ns, m=m, p=p)
+        u_s = 0.5 * np.ones((m, 1))
+        y_s = plant_model.get_equilibrium_output_from_input(
+            u_s.flatten()
+        ).reshape(-1, 1)
+        emit_traj = False  # 65536x400x10 trajectories would be ~100 GB
+    else:
+        B, T, K = 4096, 400, 100
+        n, m, p = 4, 2, 2
+        if config == "long_horizon":
+            N, L = 800, 60
+        else:
+            N, L = 400, 30
+        plant_model = LTIModel(
+            A=np.array(
+                [
+                    [0.921, 0, 0.041, 0],
+                    [0, 0.918, 0, 0.033],
+                    [0, 0, 0.924, 0],
+                    [0, 0, 0, 0.937],
+                ]
+            ),
+            B=np.array(
+                [[0.017, 0.001], [0.001, 0.023], [0, 0.061], [0.072, 0]]
+            ),
+            C=np.array([[1.0, 0, 0, 0], [0, 1, 0, 0]]),
+            D=np.zeros((2, 2)),
+            eps_max=0.002,
+        )
+        u_s = np.array([[1.0], [1.0]])
+        y_s = np.array([[0.65], [0.77]])
+        emit_traj = True
 
     t0 = time.perf_counter()
-    plant_model, sol_map, ctrl = _four_tank_solver(dtype)
+    ctrl = _controller(N, L, plant_model, rng, n, m, p, u_s, y_s)
     log(f"controller init (host, f64 KKT factorization): "
-        f"{time.perf_counter() - t0:.2f}s")
+        f"{time.perf_counter() - t0:.2f}s; QP nz={ctrl.spec.nz}, "
+        f"nc={ctrl.spec.nc}")
 
-    plant = plant_model.as_params(dtype=np.float32)
-    n, m, p = 4, 2, 2
+    t0 = time.perf_counter()
+    bm = build_affine_block_map(
+        plant_model.as_params(), ctrl._op, n=n, m=m, p=p,
+        solves_per_block=K, dtype=dtype,
+    )
+    log(f"affine block-map composition (K={K}): "
+        f"{time.perf_counter() - t0:.2f}s")
 
     x0s = jnp.tile(
         jnp.asarray(plant_model.get_state(), dtype)[None], (B, 1)
@@ -91,21 +159,30 @@ def main() -> None:
     yps = jnp.tile(
         jnp.asarray(ctrl.y_past.reshape(n, p), dtype)[None], (B, 1, 1)
     )
-    Ws = draw_noise_batch(jax.random.key(0), B, T, p, 0.002, dtype=dtype)
-
-    run = make_batched_rollout(plant, sol_map, n_steps=T, n_mpc_step=1)
+    if emit_traj:
+        noise = draw_noise_batch(
+            jax.random.key(0), B, T, p, plant_model.get_eps_max(),
+            dtype=dtype,
+        )
+        run = make_linear_batched_rollout(bm, n_steps=T)
+    else:
+        noise = jax.random.split(jax.random.key(0), B)
+        run = make_linear_batched_rollout(
+            bm, n_steps=T, use_rng_noise=True,
+            eps_max=plant_model.get_eps_max(), emit_trajectories=False,
+        )
 
     t0 = time.perf_counter()
-    result = run(x0s, ups, yps, Ws)
+    result = run(x0s, ups, yps, noise)
     jax.block_until_ready(result)
     log(f"compile + first run: {time.perf_counter() - t0:.2f}s")
-    assert bool(jnp.isfinite(result.u_sys).all()), "non-finite rollout"
+    assert bool(jnp.isfinite(result.costs).all()), "non-finite costs"
     assert bool(jnp.all(result.converged)), "solver lanes not converged"
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        result = run(x0s, ups, yps, Ws)
+        result = run(x0s, ups, yps, noise)
         jax.block_until_ready(result)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
@@ -113,33 +190,36 @@ def main() -> None:
     solves_per_s = solves / elapsed
     log(f"timed runs: {[f'{t:.3f}s' for t in times]}; "
         f"{solves} solves -> {solves_per_s:,.0f} solves/s/chip")
-    log(f"per-step batched latency: {elapsed / T * 1e6:.1f} us "
-        f"({B} scenarios/step)")
 
-    # Single-scenario per-step latency (host affine path, p50).
+    # Single-scenario per-step latency (host affine path, p50) -- the
+    # real-time-budget metric.
     lat = []
     for _ in range(200):
         t0 = time.perf_counter()
         ctrl.update_and_solve_data_driven_mpc()
         lat.append(time.perf_counter() - t0)
-    log(f"single-scenario host solve p50: {np.percentile(lat, 50) * 1e6:.1f} us, "
-        f"p99: {np.percentile(lat, 99) * 1e6:.1f} us")
+    log(f"single-scenario host solve p50: "
+        f"{np.percentile(lat, 50) * 1e6:.1f} us, p99: "
+        f"{np.percentile(lat, 99) * 1e6:.1f} us")
 
-    baseline = measure_baseline_single_core(ctrl)
+    theta = np.concatenate(
+        [ctrl.u_past.reshape(-1), ctrl.y_past.reshape(-1)]
+    )
+    baseline = measure_baseline_single_core(ctrl.spec, theta)
     log(f"baseline (single-core full KKT re-solve/step, CVXPY-equivalent "
         f"lower bound on cost): {baseline:.1f} solves/s")
 
-    print(
-        json.dumps(
-            {
-                "metric": "closed_loop_qp_solves_per_s_per_chip"
-                          "_four_tank_robust",
-                "value": round(solves_per_s, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / baseline, 1),
-            }
-        )
-    )
+    return {
+        "metric": f"closed_loop_qp_solves_per_s_per_chip_{config}",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / baseline, 1),
+    }
+
+
+def main() -> None:
+    config = sys.argv[1] if len(sys.argv) > 1 else "four_tank_robust"
+    print(json.dumps(run_config(config)))
 
 
 if __name__ == "__main__":

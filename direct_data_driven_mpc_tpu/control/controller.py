@@ -233,6 +233,21 @@ class DirectDataDrivenMPCController:
             self._op = compute_solution_operator_np(self._spec)
         self._admm_state = None
 
+        # Optional native (C) hot path for the per-step solve; falls
+        # back to NumPy transparently when no compiler is available.
+        self._native = None
+        try:
+            from direct_data_driven_mpc_tpu import native as _native_mod
+
+            if _native_mod.get_lib() is not None:
+                self._native = (
+                    _native_mod.NativeADMMSolver(self._op)
+                    if self._use_admm
+                    else _native_mod.NativeAffineSolver(self._op)
+                )
+        except Exception:
+            self._native = None
+
         # Initial solve validates the formulation and populates
         # optimal_u (reference does the same, ref :386-387).
         self.update_and_solve_data_driven_mpc()
@@ -282,12 +297,26 @@ class DirectDataDrivenMPCController:
     def solve_mpc_problem(self) -> str:
         theta = self._theta()
         if self._use_admm:
-            u, cost, self._admm_state, (_, _, converged) = admm_solve_np(
-                self._op,
-                theta,
-                num_iters=self.admm_iters,
-                state=self._admm_state,
-            )
+            if self._native is not None:
+                if self._admm_state is None:
+                    nbox = self._native.nbox
+                    self._admm_state = (
+                        np.zeros(nbox), np.zeros(nbox)
+                    )
+                s, w = self._admm_state
+                u, cost, _, r_prim, r_dual = self._native.solve(
+                    theta, s, w, self.admm_iters, 1e-8
+                )
+                converged = r_prim <= 1e-8 and r_dual <= 1e-8
+            else:
+                u, cost, self._admm_state, (_, _, converged) = (
+                    admm_solve_np(
+                        self._op,
+                        theta,
+                        num_iters=self.admm_iters,
+                        state=self._admm_state,
+                    )
+                )
             self._u_opt = u
             self._cost_value = cost
             self._status = (
@@ -298,13 +327,16 @@ class DirectDataDrivenMPCController:
                 else "infeasible"
             )
         else:
-            op = self._op
-            u = op["u_base"] + op["U_gain"] @ theta
-            cost = float(
-                theta @ op["cost_P"] @ theta
-                + op["cost_q"] @ theta
-                + op["cost_r"]
-            )
+            if self._native is not None:
+                u, cost = self._native.solve(theta)
+            else:
+                op = self._op
+                u = op["u_base"] + op["U_gain"] @ theta
+                cost = float(
+                    theta @ op["cost_P"] @ theta
+                    + op["cost_q"] @ theta
+                    + op["cost_r"]
+                )
             self._u_opt = u
             self._cost_value = cost
             self._status = (

@@ -34,7 +34,7 @@ engine remains the reference path and the only path for the ADMM
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -209,19 +209,35 @@ def linear_closed_loop_rollout(
     x0: jax.Array,
     u_past: jax.Array,
     y_past: jax.Array,
-    W: jax.Array,
-    n_steps: int,
+    W: Optional[jax.Array] = None,
+    n_steps: int = 0,
     n_mpc_step: int = 1,
+    noise_key: Optional[jax.Array] = None,
+    eps_max: float = 0.0,
+    emit_trajectories: bool = True,
 ) -> ClosedLoopResult:
     """Rollout via the condensed affine recursion (single scenario; wrap
     in ``vmap`` for batches). Interface-compatible with
     ``closed_loop_rollout``: returns per-step ``u_sys``/``y_sys`` and
-    per-solve ``costs`` trimmed to ``n_steps``."""
+    per-solve ``costs`` trimmed to ``n_steps``.
+
+    Noise: pass either ``W`` (an explicit ``(n_steps, p)`` array, used
+    for parity tests) or ``noise_key`` + ``eps_max`` -- then bounded
+    uniform noise is drawn INSIDE the scan from
+    ``fold_in(noise_key, block_index)``, so the noise tensor is never
+    materialized in HBM (essential at the 64k-scenario scale, where
+    explicit noise would be ~100 GB).
+
+    ``emit_trajectories=False`` skips the per-step ``u_sys``/``y_sys``
+    outputs (returned empty) and emits only per-solve costs + final
+    state -- the Monte-Carlo aggregate mode.
+    """
     m = u_past.shape[1]
     p = y_past.shape[1]
     dtype = block_map.M_T.dtype
     S, K, nb = _block_meta(block_map, m, p)
     ns = S - u_past.size - y_past.size
+    n_theta = S - ns
     assert nb == n_mpc_step, (
         f"block map built for n_mpc_step={nb}, called with {n_mpc_step}"
     )
@@ -230,10 +246,20 @@ def linear_closed_loop_rollout(
     n_solves = math.ceil(n_steps / n_mpc_step)
     n_outer = math.ceil(n_steps / steps_per_outer)
     pad = n_outer * steps_per_outer - n_steps
-    W_pad = jnp.concatenate(
-        [jnp.asarray(W, dtype=dtype), jnp.zeros((pad, p), dtype=dtype)],
-        axis=0,
-    ).reshape(n_outer, steps_per_outer * p)
+
+    if W is not None:
+        W_pad = jnp.concatenate(
+            [
+                jnp.asarray(W, dtype=dtype),
+                jnp.zeros((pad, p), dtype=dtype),
+            ],
+            axis=0,
+        ).reshape(n_outer, steps_per_outer * p)
+        xs = W_pad
+    else:
+        if noise_key is None:
+            raise ValueError("Provide either W or noise_key.")
+        xs = jnp.arange(n_outer)
 
     # Roll the deviation e = s - s_star (s_star is zero when the map
     # was built uncentered); emitted outputs are absolute either way.
@@ -248,33 +274,61 @@ def linear_closed_loop_rollout(
         - block_map.s_star
     )
 
-    def block(s, w):
+    def block(s, x):
+        if W is not None:
+            w = x
+        else:
+            w = eps_max * jax.random.uniform(
+                jax.random.fold_in(noise_key, x),
+                (steps_per_outer * p,),
+                minval=-1.0,
+                maxval=1.0,
+                dtype=dtype,
+            )
         # Full-f32 matmul precision: TPU default would run these as
         # bf16 passes, which visibly drifts 400-step recursions.
         with jax.default_matmul_precision("highest"):
-            u = s @ block_map.OuS_T + block_map.ou_c + w @ block_map.OuW_T
-            y = s @ block_map.OyS_T + block_map.oy_c + w @ block_map.OyW_T
             st = (
                 s @ block_map.OsS_T + block_map.os_c + w @ block_map.OsW_T
             )
+            # Per-solve costs computed in-block from the theta rows of
+            # the solve-time states (keeps the emitted outputs small).
+            thetas = st.reshape(K, S)[:, ns:]
+            costs_k = (
+                jnp.einsum(
+                    "ti,ij,tj->t", thetas, block_map.cost_P, thetas
+                )
+                + thetas @ block_map.cost_q
+                + block_map.cost_r
+            )
             s_next = s @ block_map.M_T + block_map.c + w @ block_map.N_T
-        return s_next, (u, y, st)
+            if emit_trajectories:
+                u = (
+                    s @ block_map.OuS_T
+                    + block_map.ou_c
+                    + w @ block_map.OuW_T
+                )
+                y = (
+                    s @ block_map.OyS_T
+                    + block_map.oy_c
+                    + w @ block_map.OyW_T
+                )
+                return s_next, (u, y, costs_k)
+        return s_next, costs_k
 
-    s_fin, (u_blocks, y_blocks, s_blocks) = jax.lax.scan(block, s0, W_pad)
+    s_fin, emitted = jax.lax.scan(block, s0, xs)
     s_fin = s_fin + block_map.s_star
 
-    u_sys = u_blocks.reshape(-1, m)[:n_steps]
-    y_sys = y_blocks.reshape(-1, p)[:n_steps]
+    if emit_trajectories:
+        u_blocks, y_blocks, cost_blocks = emitted
+        u_sys = u_blocks.reshape(-1, m)[:n_steps]
+        y_sys = y_blocks.reshape(-1, p)[:n_steps]
+    else:
+        cost_blocks = emitted
+        u_sys = jnp.zeros((0, m), dtype=dtype)
+        y_sys = jnp.zeros((0, p), dtype=dtype)
 
-    # Post-hoc per-solve costs: one vectorized quadratic-form pass over
-    # the solve-time states (outside the sequential loop).
-    thetas = s_blocks.reshape(-1, S)[:n_solves, ns:]  # (n_solves, n_theta)
-    with jax.default_matmul_precision("highest"):
-        costs = (
-            jnp.einsum("ti,ij,tj->t", thetas, block_map.cost_P, thetas)
-            + thetas @ block_map.cost_q
-            + block_map.cost_r
-        )
+    costs = cost_blocks.reshape(-1)[:n_solves]
     ok = jnp.isfinite(costs)
     return ClosedLoopResult(
         u_sys=u_sys,
@@ -291,21 +345,37 @@ def make_linear_batched_rollout(
     block_map: AffineBlockMap,
     n_steps: int,
     n_mpc_step: int = 1,
+    use_rng_noise: bool = False,
+    eps_max: float = 0.0,
+    emit_trajectories: bool = True,
 ):
-    """Jitted batched rollout ``(x0s, u_pasts, y_pasts, Ws) -> result``.
+    """Jitted batched rollout.
+
+    With ``use_rng_noise=False`` (default): call as
+    ``run(x0s, u_pasts, y_pasts, Ws)``. With ``use_rng_noise=True``:
+    call as ``run(x0s, u_pasts, y_pasts, keys)`` where ``keys`` is a
+    ``(B,)`` array of per-scenario PRNG keys; noise is drawn in-scan.
 
     The batch dimension rides the leading axis of every matmul, so each
     scan iteration is one ``(B, S + K nw)``-by-``(S + K nw, outputs)``
     MXU matmul covering K solves.
     """
 
-    def run(x0s, u_pasts, y_pasts, Ws):
-        def one(x0, up, yp, W):
+    def run(x0s, u_pasts, y_pasts, noise):
+        def one(x0, up, yp, nz):
+            if use_rng_noise:
+                return linear_closed_loop_rollout(
+                    block_map, x0, up, yp,
+                    n_steps=n_steps, n_mpc_step=n_mpc_step,
+                    noise_key=nz, eps_max=eps_max,
+                    emit_trajectories=emit_trajectories,
+                )
             return linear_closed_loop_rollout(
-                block_map, x0, up, yp, W,
+                block_map, x0, up, yp, W=nz,
                 n_steps=n_steps, n_mpc_step=n_mpc_step,
+                emit_trajectories=emit_trajectories,
             )
 
-        return jax.vmap(one)(x0s, u_pasts, y_pasts, Ws)
+        return jax.vmap(one)(x0s, u_pasts, y_pasts, noise)
 
     return jax.jit(run)

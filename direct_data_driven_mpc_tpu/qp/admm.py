@@ -92,20 +92,23 @@ def compute_admm_operator_np(
     E = np.zeros((nbox, nz))
     E[np.arange(nbox), np.arange(box.start, box.stop)] = 1.0
 
+    from direct_data_driven_mpc_tpu.qp.solution_map import kkt_multi_solve
+
     H_rho = H + rho * E.T @ E
     K = np.zeros((nz + nc, nz + nc))
     K[:nz, :nz] = H_rho
     K[:nz, nz:] = A.T
     K[nz:, :nz] = A
-    K_pinv = np.linalg.pinv(K)
 
-    z_c = (K_pinv @ np.concatenate([-g, spec.b_const]))[:nz]
-    rhs_theta = np.zeros((nz + nc, spec.S.shape[1]))
-    rhs_theta[nz:, :] = spec.S
-    Z_theta = (K_pinv @ rhs_theta)[:nz, :]
-    rhs_s = np.zeros((nz + nc, nbox))
-    rhs_s[:nz, :] = rho * E.T
-    Z_s = (K_pinv @ rhs_s)[:nz, :]
+    n_theta = spec.S.shape[1]
+    RHS = np.zeros((nz + nc, 1 + n_theta + nbox))
+    RHS[:, 0] = np.concatenate([-g, spec.b_const])
+    RHS[nz:, 1 : 1 + n_theta] = spec.S
+    RHS[:nz, 1 + n_theta :] = rho * E.T
+    X = kkt_multi_solve(K, RHS)
+    z_c = X[:nz, 0]
+    Z_theta = X[:nz, 1 : 1 + n_theta]
+    Z_s = X[:nz, 1 + n_theta :]
 
     u_sl = spec.u_pred_slice
 

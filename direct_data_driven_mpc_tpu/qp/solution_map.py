@@ -56,6 +56,23 @@ class SolutionMap(NamedTuple):
     cost_r: jax.Array  # ()
 
 
+def kkt_multi_solve(K: np.ndarray, RHS: np.ndarray) -> np.ndarray:
+    """Solve ``K X = RHS`` for a (possibly singular) symmetric KKT
+    matrix: fast LU first, verified by residual; fall back to the
+    pseudoinverse (minimum-norm KKT point) when the matrix is singular
+    (NOMINAL variants) or the LU solution is untrustworthy. Keeps
+    large-configuration factorization O(n^3/3) instead of a full SVD."""
+    scale = max(np.abs(RHS).max(initial=0.0), 1.0)
+    try:
+        X = np.linalg.solve(K, RHS)
+        resid = np.abs(K @ X - RHS).max(initial=0.0) / scale
+        if np.isfinite(resid) and resid < 1e-8:
+            return X
+    except np.linalg.LinAlgError:
+        pass
+    return np.linalg.pinv(K) @ RHS
+
+
 def compute_solution_operator_np(spec: QPSpec) -> dict:
     """Host float64 computation of the affine operator (single source of
     truth for both the numpy and the device paths)."""
@@ -66,15 +83,13 @@ def compute_solution_operator_np(spec: QPSpec) -> dict:
     K[:nz, :nz] = H
     K[:nz, nz:] = A.T
     K[nz:, :nz] = A
-    K_pinv = np.linalg.pinv(K)
 
-    rhs0 = np.concatenate([-g, spec.b_const])
-    sol0 = K_pinv @ rhs0
-    z_base = sol0[:nz]
-
-    rhs_theta = np.zeros((nz + nc, spec.S.shape[1]))
-    rhs_theta[nz:, :] = spec.S
-    Z = (K_pinv @ rhs_theta)[:nz, :]
+    RHS = np.zeros((nz + nc, 1 + spec.S.shape[1]))
+    RHS[:, 0] = np.concatenate([-g, spec.b_const])
+    RHS[nz:, 1:] = spec.S
+    X = kkt_multi_solve(K, RHS)
+    z_base = X[:nz, 0]
+    Z = X[:nz, 1:]
 
     # Objective value as an explicit quadratic in theta (evaluating the
     # reference's cost at the optimum, ref :708-716):

@@ -1,0 +1,63 @@
+"""Pallas fused-rollout kernel vs the XLA condensed engine (interpret
+mode on CPU; the real kernel runs on TPU in bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from direct_data_driven_mpc_tpu.control.linear_engine import (
+    build_affine_block_map,
+    make_linear_batched_rollout,
+)
+from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
+    pallas_batched_rollout,
+)
+
+from tests.test_closed_loop import _make_setup
+
+
+@pytest.mark.parametrize("n_steps,K", [(40, 8), (37, 8)])
+def test_pallas_kernel_matches_linear_engine(n_steps, K):
+    plant, ctrl, rng = _make_setup(n_mpc_step=1)
+    bm = build_affine_block_map(
+        plant.as_params(), ctrl._op, n=4, m=2, p=2,
+        solves_per_block=K, dtype=jnp.float32,
+    )
+    B = 16
+    x0s = jnp.tile(
+        jnp.asarray(plant.get_state(), jnp.float32)[None], (B, 1)
+    )
+    ups = jnp.tile(
+        jnp.asarray(ctrl.u_past.reshape(4, 2), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    yps = jnp.tile(
+        jnp.asarray(ctrl.y_past.reshape(4, 2), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    Ws = jnp.asarray(
+        0.002 * rng.uniform(-1, 1, (B, n_steps, 2)), jnp.float32
+    )
+
+    ref_run = make_linear_batched_rollout(bm, n_steps=n_steps)
+    ref = ref_run(x0s, ups, yps, Ws)
+
+    res = pallas_batched_rollout(
+        bm, x0s, ups, yps, Ws, n_steps=n_steps,
+        batch_block=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.u_sys), np.asarray(ref.u_sys), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.y_sys), np.asarray(ref.y_sys), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.costs), np.asarray(ref.costs), rtol=1e-3,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.u_past), np.asarray(ref.u_past), atol=2e-5
+    )
