@@ -20,7 +20,7 @@ path is the right tool at batch size one).
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 

@@ -14,16 +14,13 @@ capability the reference lacks (SURVEY.md section 5).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Tuple, Union
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from direct_data_driven_mpc_tpu.control.loop import (
-    ClosedLoopResult,
-    closed_loop_rollout,
-)
+from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
 from direct_data_driven_mpc_tpu.ops.lti import LTIParams
 from direct_data_driven_mpc_tpu.parallel.batch import (
     batched_closed_loop,

@@ -1,21 +1,21 @@
 """Pallas TPU kernel: fused condensed closed-loop rollout.
 
-Runs the ENTIRE multi-block closed-loop recursion of the condensed
-linear engine (control/linear_engine.py) inside one Pallas kernel per
-batch block: the carried state ``s`` lives in VMEM across the whole
-time loop, the block-map operator matrices are loaded once, and each
-``fori_loop`` iteration is a handful of VMEM-resident MXU matmuls --
-no per-iteration HBM round-trips for the carry and zero XLA
-while-loop overhead.
+Runs the multi-block closed-loop recursion of the condensed linear
+engine (control/linear_engine.py) as ONE Pallas kernel: the grid is
+``(batch_blocks, n_outer)`` with time as the minor (fastest) dimension,
+the carried state ``s`` lives in a VMEM scratch buffer that persists
+across the sequential time programs of each batch block, and each grid
+step is a handful of VMEM-resident MXU matmuls -- no XLA while-loop
+overhead and no HBM round-trips for the carry.
 
 Layout notes (see the Pallas guide's tiling constraints):
-- batch is the sublane dimension (blocks of ``BB`` scenarios, a
-  multiple of 8);
+- batch is the sublane dimension (blocks of ``BB`` scenarios);
 - all feature dimensions (state S, packed noise K*nb*p, packed outputs
   K*nb*m / K*nb*p / K*n_theta) ride the lane dimension; packing K
   solves per block iteration is exactly what makes these lane widths
-  MXU-friendly (e.g. K=100, p=2 -> 200 lanes) instead of p=2.
-- noise is packed host-side as ``(n_outer, B, K*nb*p)``.
+  MXU-friendly (e.g. K=100, p=2 -> 200 lanes) instead of p=2;
+- per grid step only ONE time block of noise/outputs is resident, so
+  VMEM usage is independent of the rollout length.
 
 Per-solve costs are evaluated OUTSIDE the kernel in one vectorized
 quadratic-form pass over the emitted solve-time theta stack (the
@@ -28,9 +28,6 @@ interpreter mode on CPU).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -40,7 +37,7 @@ from direct_data_driven_mpc_tpu.control.linear_engine import AffineBlockMap
 
 
 def _rollout_kernel(
-    # operator refs (VMEM, whole arrays)
+    # operator refs (VMEM, whole arrays, replicated across the grid)
     MT_ref,
     c_ref,
     NT_ref,
@@ -53,30 +50,23 @@ def _rollout_kernel(
     OtST_ref,
     otc_ref,
     OtWT_ref,
-    # data refs
+    # data refs (one batch/time block each)
     s0_ref,  # (BB, S)
-    W_ref,  # (n_outer, BB, nw)
+    W_ref,  # (1, BB, nw)
     # output refs
-    U_ref,  # (n_outer, BB, Ku)
-    Y_ref,  # (n_outer, BB, Kp)
-    TH_ref,  # (n_outer, BB, Kt)
+    U_ref,  # (1, BB, Ku)
+    Y_ref,  # (1, BB, Kp)
+    TH_ref,  # (1, BB, Kt)
     sfin_ref,  # (BB, S)
-    *,
-    n_outer: int,
+    # scratch
+    s_scr,  # (BB, S) persistent carry across the time grid dim
 ):
-    """One batch block: full time loop in VMEM."""
-    MT = MT_ref[:]
-    NT = NT_ref[:]
-    OuST = OuST_ref[:]
-    OuWT = OuWT_ref[:]
-    OyST = OyST_ref[:]
-    OyWT = OyWT_ref[:]
-    OtST = OtST_ref[:]
-    OtWT = OtWT_ref[:]
-    c = c_ref[:]
-    ouc = ouc_ref[:]
-    oyc = oyc_ref[:]
-    otc = otc_ref[:]
+    t = pl.program_id(1)
+    n_outer = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        s_scr[:] = s0_ref[:]
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -87,21 +77,17 @@ def _rollout_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    def body(t, s):
-        w = W_ref[t]  # (BB, nw)
-        U_ref[t] = dot(s, OuST) + ouc + dot(w, OuWT)
-        Y_ref[t] = dot(s, OyST) + oyc + dot(w, OyWT)
-        TH_ref[t] = dot(s, OtST) + otc + dot(w, OtWT)
-        return dot(s, MT) + c + dot(w, NT)
+    s = s_scr[:]
+    w = W_ref[0]
+    U_ref[0] = dot(s, OuST_ref[:]) + ouc_ref[:] + dot(w, OuWT_ref[:])
+    Y_ref[0] = dot(s, OyST_ref[:]) + oyc_ref[:] + dot(w, OyWT_ref[:])
+    TH_ref[0] = dot(s, OtST_ref[:]) + otc_ref[:] + dot(w, OtWT_ref[:])
+    s_next = dot(s, MT_ref[:]) + c_ref[:] + dot(w, NT_ref[:])
+    s_scr[:] = s_next
 
-    s = jax.lax.fori_loop(0, n_outer, body, s0_ref[:])
-    sfin_ref[:] = s
-
-
-class PallasRollout(NamedTuple):
-    """Jittable kernel closure + theta-rows operator for cost post-pass."""
-
-    run: object  # callable (s0_batch, W_packed) -> (U, Y, TH, s_fin)
+    @pl.when(t == n_outer - 1)
+    def _():
+        sfin_ref[:] = s_next
 
 
 def build_theta_operator(block_map: AffineBlockMap, ns: int):
@@ -111,20 +97,19 @@ def build_theta_operator(block_map: AffineBlockMap, ns: int):
 
     S = block_map.M_T.shape[0]
     K = block_map.os_c.shape[0] // S
-    n_theta = S - ns
     idx = np.concatenate(
         [np.arange(k * S + ns, (k + 1) * S) for k in range(K)]
     )
     OtS_T = block_map.OsS_T[:, idx]
     otc = block_map.os_c[idx]
     OtW_T = block_map.OsW_T[:, idx]
-    return OtS_T, otc, OtW_T, K, n_theta
+    return OtS_T, otc, OtW_T, K
 
 
 def make_pallas_rollout(
     block_map: AffineBlockMap,
     n_outer: int,
-    batch_block: int = 512,
+    batch_block: int = 256,
     interpret: bool = False,
 ):
     """Build the jitted fused-rollout kernel.
@@ -138,15 +123,10 @@ def make_pallas_rollout(
     Ku = block_map.ou_c.shape[0]
     Kp = block_map.oy_c.shape[0]
     nw = block_map.N_T.shape[0]
-
-    # Theta-rows operator (for the cost post-pass the caller runs).
-    ns = S - block_map.cost_P.shape[0] - 0  # S = ns + n_theta
     n_theta = block_map.cost_P.shape[0]
     ns = S - n_theta
-    OtS_T, otc, OtW_T, K, _ = build_theta_operator(block_map, ns)
+    OtS_T, otc, OtW_T, K = build_theta_operator(block_map, ns)
     Kt = OtS_T.shape[1]
-
-    kernel = functools.partial(_rollout_kernel, n_outer=n_outer)
 
     op_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -156,12 +136,10 @@ def make_pallas_rollout(
             raise ValueError(
                 f"B={B} must be a multiple of batch_block={batch_block}."
             )
-        grid = (B // batch_block,)
+        grid = (B // batch_block, n_outer)
 
-        def bspec(shape_prefix, index_map):
-            return pl.BlockSpec(
-                shape_prefix, index_map, memory_space=pltpu.VMEM
-            )
+        def bspec(shape, index_map):
+            return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
         out_shapes = (
             jax.ShapeDtypeStruct((n_outer, B, Ku), jnp.float32),
@@ -169,27 +147,26 @@ def make_pallas_rollout(
             jax.ShapeDtypeStruct((n_outer, B, Kt), jnp.float32),
             jax.ShapeDtypeStruct((B, S), jnp.float32),
         )
-        in_specs = (
-            [op_spec] * 12
-            + [
-                bspec((batch_block, S), lambda i: (i, 0)),
-                bspec(
-                    (n_outer, batch_block, nw), lambda i: (0, i, 0)
-                ),
-            ]
-        )
+        # Operator matrices: whole-array blocks, same for every program.
+        in_specs = [op_spec] * 12 + [
+            bspec((batch_block, S), lambda b, t: (b, 0)),
+            bspec((1, batch_block, nw), lambda b, t: (t, b, 0)),
+        ]
         out_specs = (
-            bspec((n_outer, batch_block, Ku), lambda i: (0, i, 0)),
-            bspec((n_outer, batch_block, Kp), lambda i: (0, i, 0)),
-            bspec((n_outer, batch_block, Kt), lambda i: (0, i, 0)),
-            bspec((batch_block, S), lambda i: (i, 0)),
+            bspec((1, batch_block, Ku), lambda b, t: (t, b, 0)),
+            bspec((1, batch_block, Kp), lambda b, t: (t, b, 0)),
+            bspec((1, batch_block, Kt), lambda b, t: (t, b, 0)),
+            bspec((batch_block, S), lambda b, t: (b, 0)),
         )
         return pl.pallas_call(
-            kernel,
+            _rollout_kernel,
             grid=grid,
             out_shape=out_shapes,
             in_specs=in_specs,
             out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((batch_block, S), jnp.float32),
+            ],
             interpret=interpret,
         )(
             block_map.M_T,
@@ -219,7 +196,7 @@ def pallas_batched_rollout(
     Ws: jax.Array,  # (B, n_steps, p)
     n_steps: int,
     n_mpc_step: int = 1,
-    batch_block: int = 512,
+    batch_block: int = 256,
     interpret: bool = False,
 ):
     """Convenience wrapper matching ``make_linear_batched_rollout``'s

@@ -15,7 +15,7 @@ is pure overhead, but the same spec scales the L=60/N=800 and
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple, Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -23,10 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from direct_data_driven_mpc_tpu.control.loop import (
-    ClosedLoopResult,
-    closed_loop_rollout,
-)
+from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
 from direct_data_driven_mpc_tpu.ops.lti import LTIParams
 from direct_data_driven_mpc_tpu.parallel.batch import batched_closed_loop
 from direct_data_driven_mpc_tpu.qp.admm import ADMMSolver

@@ -40,6 +40,20 @@ def get_padded_limits(
     return lo - pad, hi + pad
 
 
+def get_text_width_in_data(
+    text_object, axis: Axes, fig: Figure = None
+) -> float:
+    """Width of a rendered text object in data coordinates (reference
+    helper :890-915): measure the bbox in display space and transform
+    through the inverse axes transform. Used to auto-hide labels that
+    would overflow their shaded region."""
+    fig = fig or axis.get_figure()
+    renderer = fig.canvas.get_renderer()
+    bbox = text_object.get_window_extent(renderer=renderer)
+    bbox_data = bbox.transformed(axis.transData.inverted())
+    return float(bbox_data.width)
+
+
 def remove_legend_duplicates(ax: Axes, legend_params: Dict) -> None:
     """De-duplicate legend entries by label (reference helper
     :917-948)."""

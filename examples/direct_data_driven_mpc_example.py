@@ -116,9 +116,10 @@ def parse_args() -> argparse.Namespace:
     )
     parser.add_argument(
         "--engine", type=str, default="host",
-        choices=["host", "fused"],
-        help="Closed-loop execution engine (host loop or fused jitted "
-        "scan).",
+        choices=["host", "fused", "linear"],
+        help="Closed-loop execution engine: host = stateful step loop; "
+        "fused = jitted on-device scan; linear = condensed affine "
+        "engine (fastest; slack-NONE controllers only).",
     )
     parser.add_argument(
         "--save_anim", action="store_true", default=False,
@@ -223,12 +224,9 @@ def main() -> None:
             f"Starting {ctype} Data-Driven MPC control system simulation "
             f"({args.engine} engine)"
         )
-    if args.engine == "fused":
+    if args.engine in ("fused", "linear"):
         import jax.numpy as jnp
 
-        from direct_data_driven_mpc_tpu.control.loop import (
-            closed_loop_rollout,
-        )
         from direct_data_driven_mpc_tpu.qp.spec import (
             SlackVarConstraintTypes as _S,
         )
@@ -236,26 +234,72 @@ def main() -> None:
         w_sys = system_model.get_eps_max() * np_random.uniform(
             -1.0, 1.0, (n_steps, p)
         )
-        if (
-            dd_mpc_controller.slack_var_constraint_type == _S.CONVEX
-        ):
-            solver = dd_mpc_controller.admm_solver()
+        if args.engine == "linear":
+            from direct_data_driven_mpc_tpu.control.linear_engine import (
+                build_affine_block_map,
+                linear_closed_loop_rollout,
+            )
+
+            if (
+                dd_mpc_controller.slack_var_constraint_type
+                == _S.CONVEX
+            ):
+                raise SystemExit(
+                    "--engine linear requires a slack-NONE controller "
+                    "(the ADMM clip does not condense); use --engine "
+                    "fused."
+                )
+            bm = build_affine_block_map(
+                system_model.as_params(),
+                dd_mpc_controller._op,
+                n=dd_mpc_controller.n,
+                m=m,
+                p=p,
+                n_mpc_step=dd_mpc_controller.n_mpc_step,
+                solves_per_block=min(
+                    50,
+                    -(-n_steps // dd_mpc_controller.n_mpc_step),
+                ),
+            )
+            result = linear_closed_loop_rollout(
+                bm,
+                jnp.asarray(system_model.get_state(), jnp.float32),
+                jnp.asarray(
+                    dd_mpc_controller.u_past.reshape(-1, m), jnp.float32
+                ),
+                jnp.asarray(
+                    dd_mpc_controller.y_past.reshape(-1, p), jnp.float32
+                ),
+                W=jnp.asarray(w_sys, jnp.float32),
+                n_steps=n_steps,
+                n_mpc_step=dd_mpc_controller.n_mpc_step,
+            )
         else:
-            solver = dd_mpc_controller.solution_map()
-        result = closed_loop_rollout(
-            system_model.as_params(),
-            solver,
-            jnp.asarray(system_model.get_state(), jnp.float32),
-            jnp.asarray(
-                dd_mpc_controller.u_past.reshape(-1, m), jnp.float32
-            ),
-            jnp.asarray(
-                dd_mpc_controller.y_past.reshape(-1, p), jnp.float32
-            ),
-            jnp.asarray(w_sys, jnp.float32),
-            n_steps=n_steps,
-            n_mpc_step=dd_mpc_controller.n_mpc_step,
-        )
+            from direct_data_driven_mpc_tpu.control.loop import (
+                closed_loop_rollout,
+            )
+
+            if (
+                dd_mpc_controller.slack_var_constraint_type
+                == _S.CONVEX
+            ):
+                solver = dd_mpc_controller.admm_solver()
+            else:
+                solver = dd_mpc_controller.solution_map()
+            result = closed_loop_rollout(
+                system_model.as_params(),
+                solver,
+                jnp.asarray(system_model.get_state(), jnp.float32),
+                jnp.asarray(
+                    dd_mpc_controller.u_past.reshape(-1, m), jnp.float32
+                ),
+                jnp.asarray(
+                    dd_mpc_controller.y_past.reshape(-1, p), jnp.float32
+                ),
+                jnp.asarray(w_sys, jnp.float32),
+                n_steps=n_steps,
+                n_mpc_step=dd_mpc_controller.n_mpc_step,
+            )
         u_sys = np.asarray(result.u_sys, dtype=np.float64)
         y_sys = np.asarray(result.y_sys, dtype=np.float64)
         if verbose > 1:
