@@ -175,6 +175,8 @@ def run_config(config: str) -> dict:
     t0 = time.perf_counter()
     result = run(x0s, ups, yps, noise)
     jax.block_until_ready(result)
+    _ = float(result.costs[0, -1])  # force real completion (readback);
+    # block_until_ready alone does not synchronize on this platform
     log(f"compile + first run: {time.perf_counter() - t0:.2f}s")
     assert bool(jnp.isfinite(result.costs).all()), "non-finite costs"
     assert bool(jnp.all(result.converged)), "solver lanes not converged"
@@ -184,6 +186,7 @@ def run_config(config: str) -> dict:
         t0 = time.perf_counter()
         result = run(x0s, ups, yps, noise)
         jax.block_until_ready(result)
+        _ = float(result.costs[0, -1])  # true sync via readback
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
     solves = B * T
