@@ -194,6 +194,32 @@ def build_affine_block_map(
     )
 
 
+def closed_loop_spectrum(block_map: AffineBlockMap) -> dict:
+    """Eigen-analysis of the condensed closed-loop transition matrix.
+
+    Because the controller+plant loop condenses to ``s' = M s + c +
+    N w``, closed-loop stability is DECIDABLE at construction time:
+    ``spectral_radius < 1`` iff the loop is asymptotically stable (per
+    solve block). The reference can only observe divergence empirically
+    at run time (its README warns the UCON scheme "is unstable and
+    diverges" for most seeds, robust_data_driven_mpc_reproduction.py:
+    21-28); here that is a one-line certificate
+    (tests/test_stability.py proves TEC stable and UCON unstable for
+    the four-tank benchmark).
+
+    Returns ``{"spectral_radius", "stable", "eigenvalues"}`` (host
+    float64 numpy).
+    """
+    M = np.asarray(block_map.M_T, dtype=np.float64).T
+    eigs = np.linalg.eigvals(M)
+    radius = float(np.abs(eigs).max())
+    return {
+        "spectral_radius": radius,
+        "stable": bool(radius < 1.0),
+        "eigenvalues": eigs,
+    }
+
+
 def _block_meta(block_map: AffineBlockMap, m: int, p: int):
     """Returns (S, K, nb): state dim, solves per block, steps per
     solve -- all recovered from operator shapes."""
