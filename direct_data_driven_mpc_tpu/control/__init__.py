@@ -8,10 +8,30 @@ from direct_data_driven_mpc_tpu.control.loop import (
     build_closed_loop,
     closed_loop_rollout,
 )
+from direct_data_driven_mpc_tpu.control.linear_engine import (
+    AffineBlockMap,
+    build_affine_block_map,
+    closed_loop_spectrum,
+    linear_closed_loop_rollout,
+    make_linear_batched_rollout,
+)
+from direct_data_driven_mpc_tpu.control.segmented import (
+    SegmentState,
+    resume_from_checkpoint,
+    run_segmented,
+)
 
 __all__ = [
     "DirectDataDrivenMPCController",
     "ClosedLoopResult",
     "build_closed_loop",
     "closed_loop_rollout",
+    "AffineBlockMap",
+    "build_affine_block_map",
+    "closed_loop_spectrum",
+    "linear_closed_loop_rollout",
+    "make_linear_batched_rollout",
+    "SegmentState",
+    "resume_from_checkpoint",
+    "run_segmented",
 ]
