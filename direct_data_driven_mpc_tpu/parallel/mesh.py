@@ -191,3 +191,46 @@ def make_mesh_rollout(
         return sharded(solver, x0s, u_pasts, y_pasts, Ws)
 
     return jax.jit(run)
+
+
+def make_sharded_linear_rollout(
+    mesh: Mesh,
+    block_map,
+    n_steps: int,
+    n_mpc_step: int = 1,
+    use_rng_noise: bool = False,
+    eps_max: float = 0.0,
+    emit_trajectories: bool = True,
+):
+    """Condensed-engine rollout sharded over the ``data`` mesh axis.
+
+    The scenario axis is embarrassingly parallel and the condensed
+    engine has no cross-scenario dependence, so no ``shard_map`` is
+    needed: the batch arrays carry ``NamedSharding(mesh, P('data'))``
+    and XLA partitions every matmul along the batch rows with zero
+    collectives. The block-map operator is replicated (it is tiny).
+    """
+    from jax.sharding import NamedSharding
+
+    from direct_data_driven_mpc_tpu.control.linear_engine import (
+        make_linear_batched_rollout,
+    )
+
+    data_sharding = NamedSharding(mesh, P("data"))
+    run = make_linear_batched_rollout(
+        block_map,
+        n_steps=n_steps,
+        n_mpc_step=n_mpc_step,
+        use_rng_noise=use_rng_noise,
+        eps_max=eps_max,
+        emit_trajectories=emit_trajectories,
+    )
+
+    def sharded_run(x0s, u_pasts, y_pasts, noise):
+        args = jax.tree.map(
+            lambda a: jax.device_put(a, data_sharding),
+            (x0s, u_pasts, y_pasts, noise),
+        )
+        return run(*args)
+
+    return sharded_run

@@ -115,3 +115,70 @@ def test_jitted_batched_rollout_compiles_once(setup):
     r1 = run(x0s, ups, yps, Ws)
     r2 = run(x0s, ups, yps, Ws)
     np.testing.assert_array_equal(np.asarray(r1.u_sys), np.asarray(r2.u_sys))
+
+
+def test_mesh_admm_solver_matches_vmap(setup):
+    from direct_data_driven_mpc_tpu.qp.spec import SlackVarConstraintTypes
+
+    plant, ctrl, rng = _make_setup(
+        slack=SlackVarConstraintTypes.CONVEX, n_mpc_step=1
+    )
+    params = plant.as_params()
+    admm = ctrl.admm_solver(dtype=jnp.float64)
+    mesh = make_scenario_mesh(n_data=4, n_model=2)
+    B, n_steps = 8, 10
+    x0 = plant.get_state().copy()
+    up = ctrl.u_past.reshape(4, 2)
+    yp = ctrl.y_past.reshape(4, 2)
+    x0s = jnp.tile(jnp.asarray(x0)[None], (B, 1))
+    ups = jnp.tile(jnp.asarray(up)[None], (B, 1, 1))
+    yps = jnp.tile(jnp.asarray(yp)[None], (B, 1, 1))
+    Ws = draw_noise_batch(
+        jax.random.key(9), B, n_steps, 2, 0.002, dtype=jnp.float64
+    )
+    run = make_mesh_rollout(
+        mesh, params, admm, n_steps=n_steps, admm_iters=150
+    )
+    result, metrics = run(x0s, ups, yps, Ws)
+    ref = batched_closed_loop(
+        params, admm, x0s, ups, yps, Ws, n_steps=n_steps, admm_iters=150
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.u_sys), np.asarray(ref.u_sys), atol=1e-10
+    )
+    assert float(metrics["frac_converged"]) == 1.0
+
+
+def test_sharded_linear_rollout_matches_unsharded(setup):
+    from direct_data_driven_mpc_tpu.control.linear_engine import (
+        build_affine_block_map,
+        make_linear_batched_rollout,
+    )
+    from direct_data_driven_mpc_tpu.parallel.mesh import (
+        make_sharded_linear_rollout,
+    )
+
+    plant, ctrl, rng = _make_setup(n_mpc_step=1)
+    bm = build_affine_block_map(
+        plant.as_params(), ctrl._op, n=4, m=2, p=2,
+        solves_per_block=5, dtype=jnp.float64,
+    )
+    mesh = make_scenario_mesh(n_data=8, n_model=1)
+    B, n_steps = 16, 20
+    x0 = plant.get_state().copy()
+    x0s = jnp.tile(jnp.asarray(x0)[None], (B, 1))
+    ups = jnp.tile(jnp.asarray(ctrl.u_past.reshape(4, 2))[None], (B, 1, 1))
+    yps = jnp.tile(jnp.asarray(ctrl.y_past.reshape(4, 2))[None], (B, 1, 1))
+    Ws = draw_noise_batch(
+        jax.random.key(2), B, n_steps, 2, 0.002, dtype=jnp.float64
+    )
+    sharded = make_sharded_linear_rollout(mesh, bm, n_steps=n_steps)
+    res = sharded(x0s, ups, yps, Ws)
+    ref = make_linear_batched_rollout(bm, n_steps=n_steps)(
+        x0s, ups, yps, Ws
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.u_sys), np.asarray(ref.u_sys), atol=1e-12
+    )
+    # The result must actually be sharded over the data axis.
+    assert len(res.u_sys.sharding.device_set) == 8
