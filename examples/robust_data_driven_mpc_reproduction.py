@@ -76,6 +76,11 @@ def parse_args() -> argparse.Namespace:
         help="Skip the figure (headless runs).",
     )
     parser.add_argument(
+        "--save_fig", type=str, default=None,
+        help="Save the reproduction figure to this path instead of "
+        "showing it.",
+    )
+    parser.add_argument(
         "--verbose", type=int, default=2, choices=[0, 1, 2],
         help="0 = silent, 1 = minimal, 2 = detailed.",
     )
@@ -187,7 +192,7 @@ def main() -> None:
 
     if verbose:
         print("Displaying reproduction figure")
-    plot_input_output_reproduction(
+    fig = plot_input_output_reproduction(
         data_driven_mpc_controller_schemes=SCHEMES,
         u_data=u_data,
         y_data=y_data,
@@ -196,7 +201,12 @@ def main() -> None:
         u_ylimits=U_YLIMITS,
         y_ylimits=Y_YLIMITS,
         title="Robust Data-Driven MPC Schemes",
+        show=args.save_fig is None,
     )
+    if args.save_fig:
+        fig.savefig(args.save_fig, dpi=150)
+        if verbose:
+            print(f"Figure saved to {args.save_fig}")
 
 
 if __name__ == "__main__":
