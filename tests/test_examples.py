@@ -167,3 +167,20 @@ def test_plotting_produces_figures(tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_monte_carlo_cli(monkeypatch, capsys, tmp_path):
+    import monte_carlo_example as mc
+
+    out = _run_main(
+        mc,
+        [
+            "prog", "--batch", "16", "--t_sim", "20", "--seed", "0",
+            "--verbose", "1", "--save_fig", str(tmp_path / "mc.png"),
+        ],
+        monkeypatch,
+        capsys,
+    )
+    assert "spectral radius" in out.out
+    assert "Simulated 16 scenarios" in out.out
+    assert (tmp_path / "mc.png").stat().st_size > 0
