@@ -367,6 +367,118 @@ def linear_closed_loop_rollout(
     )
 
 
+def time_parallel_rollout(
+    block_map: AffineBlockMap,
+    x0: jax.Array,
+    u_past: jax.Array,
+    y_past: jax.Array,
+    W: jax.Array,
+    n_steps: int,
+    n_mpc_step: int = 1,
+) -> ClosedLoopResult:
+    """Whole-trajectory rollout in O(log T) depth via associative scan.
+
+    The condensed recursion ``s' = M s + (c + N w_t)`` is an affine map
+    per solve block; affine maps compose associatively:
+    ``(A2, b2) o (A1, b1) = (A2 A1, A2 b1 + b2)``. A
+    ``lax.associative_scan`` over the per-block maps therefore yields
+    the state at EVERY solve time in ~log2(T) parallel rounds instead
+    of T sequential steps -- the sequential-dependency wall that caps
+    per-step MPC solvers (SURVEY.md section 7.4) disappears for the
+    condensed engine. This is the latency-optimal path for a single
+    scenario: the whole closed-loop trajectory materializes in a few
+    microseconds of depth.
+
+    Cost: O(T S^3) FLOPs instead of O(T S^2) -- an S-fold FLOP premium
+    (S = 20 for the four-tank benchmark) traded for a T/log2(T)-fold
+    depth reduction. Exact same trajectories as the sequential engine
+    (tests/test_time_parallel.py).
+    """
+    m = u_past.shape[1]
+    p = y_past.shape[1]
+    dtype = block_map.M_T.dtype
+    S, K, nb = _block_meta(block_map, m, p)
+    ns = S - u_past.size - y_past.size
+    assert nb == n_mpc_step
+    steps_per_outer = K * n_mpc_step
+    n_solves = math.ceil(n_steps / n_mpc_step)
+    n_outer = math.ceil(n_steps / steps_per_outer)
+    pad = n_outer * steps_per_outer - n_steps
+
+    W_pad = jnp.concatenate(
+        [jnp.asarray(W, dtype=dtype), jnp.zeros((pad, p), dtype=dtype)],
+        axis=0,
+    ).reshape(n_outer, steps_per_outer * p)
+
+    s0 = (
+        jnp.concatenate(
+            [
+                jnp.asarray(x0, dtype=dtype).reshape(-1),
+                jnp.asarray(u_past, dtype=dtype).reshape(-1),
+                jnp.asarray(y_past, dtype=dtype).reshape(-1),
+            ]
+        )
+        - block_map.s_star
+    )
+
+    with jax.default_matmul_precision("highest"):
+        # Per-block offsets b_t = c + N w_t; transition matrix M is
+        # shared, so element t of the scan is the pair (M, b_t).
+        b = block_map.c[None, :] + W_pad @ block_map.N_T  # (n_outer, S)
+        M_T = block_map.M_T
+        A0 = jnp.broadcast_to(M_T[None], (n_outer, S, S))
+
+        def compose(left, right):
+            # Row convention: s' = s @ A_T + b. Composing left-then-
+            # right: s'' = (s @ Al + bl) @ Ar + br.
+            Al, bl = left
+            Ar, br = right
+            return (
+                jnp.einsum("...ij,...jk->...ik", Al, Ar),
+                jnp.einsum("...j,...jk->...k", bl, Ar) + br,
+            )
+
+        # prefix[t] maps s0 to the state AFTER block t.
+        A_pref, b_pref = jax.lax.associative_scan(compose, (A0, b))
+        s_after = s0 @ A_pref + b_pref  # (n_outer, S)
+        # State BEFORE each block (s0 for t=0, after-block otherwise).
+        s_before = jnp.concatenate([s0[None], s_after[:-1]], axis=0)
+
+        # Per-block outputs from the pre-block states + block noise.
+        u_blocks = (
+            s_before @ block_map.OuS_T
+            + block_map.ou_c
+            + W_pad @ block_map.OuW_T
+        )
+        y_blocks = (
+            s_before @ block_map.OyS_T
+            + block_map.oy_c
+            + W_pad @ block_map.OyW_T
+        )
+        st = (
+            s_before @ block_map.OsS_T
+            + block_map.os_c
+            + W_pad @ block_map.OsW_T
+        )
+        thetas = st.reshape(n_outer * K, S)[:n_solves, ns:]
+        costs = (
+            jnp.einsum("ti,ij,tj->t", thetas, block_map.cost_P, thetas)
+            + thetas @ block_map.cost_q
+            + block_map.cost_r
+        )
+
+    s_fin = s_after[-1] + block_map.s_star
+    return ClosedLoopResult(
+        u_sys=u_blocks.reshape(-1, m)[:n_steps],
+        y_sys=y_blocks.reshape(-1, p)[:n_steps],
+        costs=costs,
+        converged=jnp.isfinite(costs),
+        x_final=s_fin[:ns],
+        u_past=s_fin[ns : ns + u_past.size].reshape(u_past.shape),
+        y_past=s_fin[ns + u_past.size :].reshape(y_past.shape),
+    )
+
+
 def make_linear_batched_rollout(
     block_map: AffineBlockMap,
     n_steps: int,
