@@ -66,6 +66,15 @@ def run_segmented(
     """Run ``n_segments`` segments from ``state``, checkpointing after
     each when ``checkpoint_path`` is given. Returns the advanced state
     and the concatenated results of the segments run here."""
+    if segment_steps % n_mpc_step:
+        # The engines advance the plant through padded steps of a
+        # trailing partial solve block (outputs are trimmed, but the
+        # carried state is post-padding), so resumable segments must
+        # align with the solve cadence.
+        raise ValueError(
+            f"segment_steps={segment_steps} must be a multiple of "
+            f"n_mpc_step={n_mpc_step} for exact resume semantics."
+        )
     B, _, p = state.y_past.shape
     u_parts: List[np.ndarray] = []
     y_parts: List[np.ndarray] = []

@@ -101,3 +101,24 @@ def test_checkpoint_shape_validation(tmp_path):
 
     with pytest.raises(ValueError, match="shape mismatch"):
         load_checkpoint(path, bad_template)
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    """jax.profiler tracing hook produces an XPlane artifact."""
+    import jax.numpy as jnp
+
+    from direct_data_driven_mpc_tpu.utils.profiling import Timer, trace
+
+    with trace(str(tmp_path)):
+        x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+        x.block_until_ready()
+    import glob
+
+    files = glob.glob(str(tmp_path / "**" / "*.xplane.pb"), recursive=True)
+    assert files, "no trace artifact written"
+
+    t = Timer()
+    out = t.timeit(lambda: jnp.ones(4) + 1, iters=3, warmup=1)
+    assert out.shape == (4,)
+    s = t.summary()
+    assert s["n"] == 3 and s["p50_s"] >= 0
