@@ -360,16 +360,29 @@ def save_animation(
     file_path: str,
     progress_callback=None,
 ) -> None:
-    """Export an animation via FFmpeg (reference export :820-856).
+    """Export an animation (reference export :820-856).
 
-    Creates the output directory if needed; ``progress_callback`` gets
+    Uses FFmpeg when available; falls back to Pillow for ``.gif``
+    output when ffmpeg is not installed (this keeps the reference's
+    default ``.gif`` workflow working on ffmpeg-less hosts). Creates
+    the output directory if needed; ``progress_callback`` gets
     ``(current_frame, total_frames)`` per frame (the reference wires a
     tqdm bar here).
     """
     out_dir = os.path.dirname(file_path)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-    writer = FFMpegWriter(fps=fps, bitrate=bitrate)
+    if FFMpegWriter.isAvailable():
+        writer = FFMpegWriter(fps=fps, bitrate=bitrate)
+    elif file_path.lower().endswith(".gif"):
+        from matplotlib.animation import PillowWriter
+
+        writer = PillowWriter(fps=fps)
+    else:
+        raise RuntimeError(
+            "ffmpeg is not available; install it or use a .gif output "
+            "path (Pillow fallback)."
+        )
     if progress_callback is None:
         try:
             from tqdm import tqdm

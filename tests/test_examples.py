@@ -184,3 +184,27 @@ def test_monte_carlo_cli(monkeypatch, capsys, tmp_path):
     assert "spectral radius" in out.out
     assert "Simulated 16 scenarios" in out.out
     assert (tmp_path / "mc.png").stat().st_size > 0
+
+
+def test_save_animation_gif_fallback(tmp_path):
+    """Animation export works without ffmpeg (Pillow gif fallback)."""
+    from direct_data_driven_mpc_tpu.viz.plots import (
+        plot_input_output_animation,
+        save_animation,
+    )
+
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(20, 2))
+    y = rng.normal(size=(20, 2))
+    anim = plot_input_output_animation(
+        u, y, np.array([[1.0], [1.0]]), np.array([[0.65], [0.77]]),
+        points_per_frame=10,
+    )
+    path = tmp_path / "anim.gif"
+    save_animation(anim, total_frames=3, fps=5, bitrate=100,
+                   file_path=str(path))
+    assert path.stat().st_size > 0
+
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
