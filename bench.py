@@ -96,8 +96,6 @@ def run_config(config: str) -> dict:
     from direct_data_driven_mpc_tpu.models.random_lti import (
         random_stable_lti,
     )
-    from direct_data_driven_mpc_tpu.parallel.batch import draw_noise_batch
-
     dev = jax.devices()[0]
     log(f"device: {dev}; config: {config}")
     dtype = jnp.float32
@@ -170,20 +168,13 @@ def run_config(config: str) -> dict:
     yps = jnp.tile(
         jnp.asarray(ctrl.y_past.reshape(n, p), dtype)[None], (B, 1, 1)
     )
-    if emit_traj:
-        # In-scan RNG noise: at B=256k an explicit noise tensor would
-        # be ~840 MB of pointless HBM traffic per run.
-        noise = jax.random.split(jax.random.key(0), B)
-        run = make_linear_batched_rollout(
-            bm, n_steps=T, use_rng_noise=True,
-            eps_max=plant_model.get_eps_max(),
-        )
-    else:
-        noise = jax.random.split(jax.random.key(0), B)
-        run = make_linear_batched_rollout(
-            bm, n_steps=T, use_rng_noise=True,
-            eps_max=plant_model.get_eps_max(), emit_trajectories=False,
-        )
+    # In-scan RNG noise: at B=256k an explicit noise tensor would be
+    # ~840 MB of pointless HBM traffic per run.
+    noise = jax.random.split(jax.random.key(0), B)
+    run = make_linear_batched_rollout(
+        bm, n_steps=T, use_rng_noise=True,
+        eps_max=plant_model.get_eps_max(), emit_trajectories=emit_traj,
+    )
 
     t0 = time.perf_counter()
     result = run(x0s, ups, yps, noise)

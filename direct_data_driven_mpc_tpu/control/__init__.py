@@ -14,6 +14,7 @@ from direct_data_driven_mpc_tpu.control.linear_engine import (
     closed_loop_spectrum,
     linear_closed_loop_rollout,
     make_linear_batched_rollout,
+    time_parallel_rollout,
 )
 from direct_data_driven_mpc_tpu.control.segmented import (
     SegmentState,
@@ -31,6 +32,7 @@ __all__ = [
     "closed_loop_spectrum",
     "linear_closed_loop_rollout",
     "make_linear_batched_rollout",
+    "time_parallel_rollout",
     "SegmentState",
     "resume_from_checkpoint",
     "run_segmented",

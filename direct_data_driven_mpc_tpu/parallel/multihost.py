@@ -29,16 +29,36 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize JAX's multi-host runtime (no-op if single-process).
+    """Initialize JAX's multi-host runtime.
 
-    On TPU pods the arguments are auto-detected from the environment;
-    pass them explicitly for manual launches.
+    Explicit arguments take precedence (manual launches). With no
+    arguments, initializes with auto-detection when the environment
+    indicates a multi-process launch (pod runtime / coordinator env
+    vars); otherwise it is a no-op so single-process runs and tests
+    are unaffected.
     """
-    if num_processes is not None and num_processes > 1:
+    import os
+
+    if num_processes is not None:
+        if num_processes > 1:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        return
+    multiproc_env = any(
+        os.environ.get(var)
+        for var in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_ID",
+        )
+    )
+    if coordinator_address is not None or multiproc_env:
         jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
+            coordinator_address=coordinator_address
         )
 
 

@@ -126,20 +126,27 @@ def _plot_series(
     if initial_steps:
         ax.axvspan(0, initial_steps, color="gray", alpha=0.18)
         if display_initial_text:
-            # Auto-hide the label when the shaded region is too narrow
-            # relative to the plotted span (reference hides overflowing
-            # text at :324-345).
-            if initial_steps > 0.08 * T:
-                ylo, yhi = ax.get_ylim()
-                ax.text(
-                    initial_steps / 2,
-                    ylo + 0.92 * (yhi - ylo),
-                    initial_text,
-                    ha="center",
-                    va="top",
-                    fontsize=fontsize - 2,
-                    color="dimgray",
-                )
+            ylo, yhi = ax.get_ylim()
+            text = ax.text(
+                initial_steps / 2,
+                ylo + 0.92 * (yhi - ylo),
+                initial_text,
+                ha="center",
+                va="top",
+                fontsize=fontsize - 2,
+                color="dimgray",
+            )
+            # Auto-hide the label when its rendered width exceeds the
+            # shaded region (reference hides overflowing text at
+            # :324-345) -- measured in data coordinates.
+            try:
+                ax.set_xlim(0, T - 1)  # final limits before measuring
+                if get_text_width_in_data(text, ax) > initial_steps:
+                    text.set_visible(False)
+            except (AttributeError, RuntimeError):
+                # Renderer not available (non-Agg backend pre-draw);
+                # keep the label visible.
+                pass
     ax.set_xlim(0, T - 1)
     if ylimit is not None:
         ax.set_ylim(*ylimit)

@@ -97,6 +97,14 @@ def main() -> None:
     )
     ctrl = create_data_driven_mpc_controller(config, u_d, y_d)
     n = ctrl.n
+    from direct_data_driven_mpc_tpu.qp.spec import SlackVarConstraintTypes
+
+    if ctrl.slack_var_constraint_type == SlackVarConstraintTypes.CONVEX:
+        raise SystemExit(
+            "The Monte-Carlo example uses the condensed affine engine, "
+            "which requires a slack-NONE controller (set "
+            "slack_var_constraint_type: 0 in the controller config)."
+        )
 
     # Condensed engine + stability certificate.
     bm = build_affine_block_map(
@@ -135,8 +143,17 @@ def main() -> None:
         use_rng_noise=True,
         eps_max=system_model.get_eps_max(),
     )
+    def run_synced(*a):
+        r = run(*a)
+        jax.block_until_ready(r)
+        # Force true completion: block_until_ready alone does not
+        # synchronize on this platform (see CLAUDE.md).
+        float(r.costs[0, -1])
+        return r
+
     timer = Timer()
-    result = timer.timeit(run, x0s, ups, yps, keys, iters=1, warmup=1)
+    result = timer.timeit(run_synced, x0s, ups, yps, keys, iters=1,
+                          warmup=1)
     if verbose:
         print(
             f"Simulated {B} scenarios x {T} steps "
@@ -159,7 +176,7 @@ def main() -> None:
             f", p95 {np.percentile(costs[:, -1], 95):.4f}"
         )
 
-    if args.no_plot:
+    if args.no_plot and not args.save_fig:
         return
 
     import matplotlib.pyplot as plt
@@ -194,7 +211,7 @@ def main() -> None:
         fig.savefig(args.save_fig, dpi=150)
         if verbose:
             print(f"Figure saved to {args.save_fig}")
-    else:
+    elif not args.no_plot:
         plt.show()
 
 

@@ -187,7 +187,7 @@ def main() -> None:
             ).max()
             print(f"    {scheme.name}: final output error {err:.5f}")
 
-    if args.no_plot:
+    if args.no_plot and not args.save_fig:
         return
 
     if verbose:
