@@ -22,9 +22,11 @@ overhead). Real CVXPY per-step time is strictly larger, so the reported
 
 Extra configs (stderr-only details; the stdout JSON line is always the
 headline config-4 metric unless a config is selected):
-    python bench.py long_horizon   # config 3: L=60, N=800
-    python bench.py large_plant    # config 5 scale: 65536 scenarios,
-                                   # 10x10 plant, in-scan RNG noise
+    python bench.py long_horizon      # config 3: L=60, N=800
+    python bench.py large_plant       # config 5 scale: 65536 scenarios,
+                                      # 10x10 plant, in-scan RNG noise
+    python bench.py four_tank_convex  # CONVEX slack: warm-started
+                                      # device ADMM in the scan
 
 Prints exactly one JSON line on stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -84,6 +86,105 @@ def _controller(N, L, plant_model, rng, n, m, p, u_s, y_s):
     )
 
 
+def run_convex_config() -> dict:
+    """CONVEX-slack variant: warm-started fixed-iteration ADMM inside
+    the fused scan (the clip nonlinearity does not condense, so this
+    exercises the generic engine + qp/admm.py on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from direct_data_driven_mpc_tpu.control.controller import (
+        DirectDataDrivenMPCController,
+    )
+    from direct_data_driven_mpc_tpu.models.lti_model import LTIModel
+    from direct_data_driven_mpc_tpu.parallel.batch import (
+        draw_noise_batch,
+        make_batched_rollout,
+    )
+    from direct_data_driven_mpc_tpu.qp.spec import (
+        DataDrivenMPCType,
+        SlackVarConstraintTypes,
+    )
+
+    B, T, admm_iters = 4096, 400, 30
+    n, m, p, N, L = 4, 2, 2, 400, 30
+    rng = np.random.default_rng(0)
+    plant_model = LTIModel(
+        A=np.array(
+            [
+                [0.921, 0, 0.041, 0],
+                [0, 0.918, 0, 0.033],
+                [0, 0, 0.924, 0],
+                [0, 0, 0, 0.937],
+            ]
+        ),
+        B=np.array(
+            [[0.017, 0.001], [0.001, 0.023], [0, 0.061], [0.072, 0]]
+        ),
+        C=np.array([[1.0, 0, 0, 0], [0, 1, 0, 0]]),
+        D=np.zeros((2, 2)),
+        eps_max=0.002,
+    )
+    u_d = rng.uniform(-1, 1, (N, m))
+    w_d = 0.002 * rng.uniform(-1, 1, (N, p))
+    y_d = plant_model.simulate(u_d, w_d, N)
+    ctrl = DirectDataDrivenMPCController(
+        n=n, m=m, p=p, u_d=u_d, y_d=y_d, L=L,
+        Q=3.0 * np.eye(p * L), R=1e-4 * np.eye(m * L),
+        u_s=np.array([[1.0], [1.0]]), y_s=np.array([[0.65], [0.77]]),
+        eps_max=0.002, lamb_alpha=0.1 / 0.002, lamb_sigma=1000.0, c=1.0,
+        slack_var_constraint_type=SlackVarConstraintTypes.CONVEX,
+        controller_type=DataDrivenMPCType.ROBUST, n_mpc_step=1,
+    )
+    solver = ctrl.admm_solver(dtype=jnp.float32)
+    log(f"device: {jax.devices()[0]}; config: four_tank_convex; "
+        f"B={B}, T={T}, admm_iters={admm_iters} (warm-started)")
+
+    dtype = jnp.float32
+    x0s = jnp.tile(
+        jnp.asarray(plant_model.get_state(), dtype)[None], (B, 1)
+    )
+    ups = jnp.tile(
+        jnp.asarray(ctrl.u_past.reshape(n, m), dtype)[None], (B, 1, 1)
+    )
+    yps = jnp.tile(
+        jnp.asarray(ctrl.y_past.reshape(n, p), dtype)[None], (B, 1, 1)
+    )
+    Ws = draw_noise_batch(jax.random.key(0), B, T, p, 0.002, dtype=dtype)
+    run = make_batched_rollout(
+        plant_model.as_params(dtype=np.float32), solver, n_steps=T,
+        admm_iters=admm_iters,
+    )
+    t0 = time.perf_counter()
+    result = run(x0s, ups, yps, Ws)
+    jax.block_until_ready(result)
+    _ = float(result.costs[0, -1])
+    log(f"compile + first run: {time.perf_counter() - t0:.2f}s")
+    frac_conv = float(np.asarray(result.converged).mean())
+    log(f"converged lanes: {frac_conv:.4f}")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        result = run(x0s, ups, yps, Ws)
+        jax.block_until_ready(result)
+        _ = float(result.costs[0, -1])
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    solves_per_s = B * T / elapsed
+    log(f"timed runs: {[f'{t:.3f}s' for t in times]}; "
+        f"{B * T} ADMM solves -> {solves_per_s:,.0f} solves/s/chip")
+    theta = np.concatenate(
+        [ctrl.u_past.reshape(-1), ctrl.y_past.reshape(-1)]
+    )
+    baseline = measure_baseline_single_core(ctrl.spec, theta)
+    return {
+        "metric": "closed_loop_qp_solves_per_s_per_chip_four_tank_convex",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / baseline, 1),
+    }
+
+
 def run_config(config: str) -> dict:
     import jax
     import jax.numpy as jnp
@@ -92,6 +193,9 @@ def run_config(config: str) -> dict:
         build_affine_block_map,
         make_linear_batched_rollout,
     )
+
+    if config == "four_tank_convex":
+        return run_convex_config()
     from direct_data_driven_mpc_tpu.models.lti_model import LTIModel
     from direct_data_driven_mpc_tpu.models.random_lti import (
         random_stable_lti,

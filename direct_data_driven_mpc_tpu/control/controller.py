@@ -126,6 +126,12 @@ class DirectDataDrivenMPCController:
                     "controller."
                 )
 
+        if not 1 <= n_mpc_step <= L:
+            # The applied sequence ubar*[0, n_mpc_step-1] must lie
+            # inside the optimized prediction segment [0, L-1].
+            raise ValueError(
+                f"n_mpc_step ({n_mpc_step}) must be in [1, L={L}]."
+            )
         self.n_mpc_step = n_mpc_step
         self.use_terminal_constraint = use_terminal_constraint
         self.admm_iters = admm_iters

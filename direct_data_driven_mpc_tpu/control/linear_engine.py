@@ -123,6 +123,11 @@ def build_affine_block_map(
 
     # First nb*m rows of the affine QP solution (lazy evaluation --
     # unused tail rows of the gain never touch the hot path).
+    if nb * m > solution_op["U_gain"].shape[0]:
+        raise ValueError(
+            f"n_mpc_step ({nb}) exceeds the optimized horizon "
+            f"(L = {solution_op['U_gain'].shape[0] // m})."
+        )
     U_gain = solution_op["U_gain"][: nb * m]  # (nb*m, n_theta)
     u_base = solution_op["u_base"][: nb * m]
 

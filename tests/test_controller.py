@@ -148,3 +148,10 @@ def test_unsupported_slack_type_raises():
         _make_controller(
             slack_var_constraint_type=SlackVarConstraintTypes.NON_CONVEX
         )
+
+
+def test_n_mpc_step_must_fit_in_horizon():
+    with pytest.raises(ValueError, match="n_mpc_step"):
+        _make_controller(n_mpc_step=31)  # L = 30
+    with pytest.raises(ValueError, match="n_mpc_step"):
+        _make_controller(n_mpc_step=0)
