@@ -237,6 +237,17 @@ class DirectDataDrivenMPCController:
             self._op = compute_admm_operator_np(self._spec)
         else:
             self._op = compute_solution_operator_np(self._spec)
+            if not self._op["feasible"]:
+                # Parity with the reference's failing initial solve
+                # (ref :386 + :804-808): an operator whose affine map
+                # cannot satisfy the equality constraints means the
+                # problem is infeasible for some past windows.
+                raise ValueError(
+                    "MPC problem is infeasible: the equality "
+                    "constraints are inconsistent (primal residuals "
+                    f"{self._op['primal_residual_const']:.2e} const / "
+                    f"{self._op['primal_residual_gain']:.2e} gain)."
+                )
         self._admm_state = None
 
         # Optional native (C) hot path for the per-step solve; falls

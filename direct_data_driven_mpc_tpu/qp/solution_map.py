@@ -91,6 +91,21 @@ def compute_solution_operator_np(spec: QPSpec) -> dict:
     z_base = X[:nz, 0]
     Z = X[:nz, 1:]
 
+    # Feasibility certificate: with a rank-deficient constraint matrix
+    # the pseudoinverse returns a least-squares point that may VIOLATE
+    # A z = b -- the equality-QP analog of CVXPY reporting
+    # "infeasible" (the reference surfaces this via its failing initial
+    # solve, ref :386 + :804-808). Certify that the affine operator is
+    # exactly primal-feasible for every theta: the residual
+    # r(theta) = (A z_base - b_const) + (A Z - S) theta must vanish
+    # identically.
+    scale = max(1.0, np.abs(spec.b_const).max(initial=0.0))
+    res_const = float(
+        np.abs(A @ z_base - spec.b_const).max(initial=0.0)
+    ) / scale
+    res_gain = float(np.abs(A @ Z - spec.S).max(initial=0.0))
+    feasible = res_const < 1e-7 and res_gain < 1e-7
+
     # Objective value as an explicit quadratic in theta (evaluating the
     # reference's cost at the optimum, ref :708-716):
     #   cost(theta) = 0.5 z^T H z + g^T z + r0,  z = z_base + Z theta.
@@ -109,6 +124,9 @@ def compute_solution_operator_np(spec: QPSpec) -> dict:
         "cost_P": cost_P,
         "cost_q": cost_q,
         "cost_r": np.float64(cost_r),
+        "feasible": feasible,
+        "primal_residual_const": res_const,
+        "primal_residual_gain": res_gain,
     }
 
 
@@ -120,7 +138,10 @@ def compute_solution_map(spec: QPSpec, dtype=jnp.float32) -> SolutionMap:
     """
     op = compute_solution_operator_np(spec)
     return SolutionMap(
-        **{k: jnp.asarray(v, dtype=dtype) for k, v in op.items()}
+        **{
+            k: jnp.asarray(op[k], dtype=dtype)
+            for k in SolutionMap._fields
+        }
     )
 
 

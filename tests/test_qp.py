@@ -18,6 +18,7 @@ from direct_data_driven_mpc_tpu.qp.admm import (
 )
 from direct_data_driven_mpc_tpu.qp.assembly import build_qp_spec
 from direct_data_driven_mpc_tpu.qp.solution_map import (
+    compute_solution_operator_np,
     compute_solution_map,
     kkt_residuals,
     optimal_cost,
@@ -235,3 +236,24 @@ def test_admm_active_box_satisfies_kkt():
 def test_non_convex_slack_raises():
     with pytest.raises(NotImplementedError):
         _small_problem(slack=SlackVarConstraintTypes.NON_CONVEX)
+
+
+def test_infeasible_constraints_detected():
+    """Rank-deficient + inconsistent equality constraints must be
+    reported, not silently least-squares'd by the pseudoinverse."""
+    spec, theta = _small_problem()
+    # Append a contradictory duplicate of the first constraint row:
+    # same coefficients, different right-hand side.
+    A_bad = np.vstack([spec.A, spec.A[0]])
+    b_bad = np.concatenate([spec.b_const, [spec.b_const[0] + 1.0]])
+    S_bad = np.vstack([spec.S, spec.S[0]])
+    import dataclasses
+
+    bad = dataclasses.replace(spec, A=A_bad, b_const=b_bad, S=S_bad)
+    op = compute_solution_operator_np(bad)
+    assert not op["feasible"]
+    assert op["primal_residual_const"] > 1e-3
+
+    # The healthy problem certifies feasible.
+    op_ok = compute_solution_operator_np(spec)
+    assert op_ok["feasible"]
