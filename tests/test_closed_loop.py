@@ -209,3 +209,25 @@ def test_fused_engine_float32_close_to_float64():
         - np.asarray(results[jnp.float64].u_sys)
     ).max()
     assert du < 1e-2, f"f32 drift too large: {du}"
+
+
+def test_divergence_surfaces_in_status_lanes():
+    """A diverging (UCON) rollout must flag non-finite lanes instead of
+    raising -- exceptions cannot abort one lane of a vmapped batch."""
+    plant, ctrl, rng = _make_setup(n_mpc_step=1, use_terminal=False)
+    sol = ctrl.solution_map(dtype=jnp.float32)
+    W = (0.002 * rng.uniform(-1, 1, (3000, 2))).astype(np.float32)
+    result = closed_loop_rollout(
+        plant.as_params(),
+        sol,
+        plant.get_state().astype(np.float32),
+        ctrl.u_past.reshape(4, 2).astype(np.float32),
+        ctrl.y_past.reshape(4, 2).astype(np.float32),
+        W,
+        n_steps=3000,
+    )
+    conv = np.asarray(result.converged)
+    # The unstable loop eventually overflows float32: later solves are
+    # flagged, earlier ones are fine, and nothing raised.
+    assert conv[0]
+    assert not conv[-1]
