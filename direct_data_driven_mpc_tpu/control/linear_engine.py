@@ -100,6 +100,11 @@ def build_affine_block_map(
         solves_per_block: QP solves composed per scan iteration.
         dtype: device dtype of the emitted operator.
     """
+    from direct_data_driven_mpc_tpu.qp.solution_map import (
+        _check_dtype_supported,
+    )
+
+    _check_dtype_supported(dtype)
     A = np.asarray(plant.A, dtype=np.float64)
     B = np.asarray(plant.B, dtype=np.float64)
     C = np.asarray(plant.C, dtype=np.float64)

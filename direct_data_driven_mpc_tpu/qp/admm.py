@@ -140,6 +140,11 @@ def compute_admm_solver(
 ) -> ADMMSolver:
     """Pre-factorize the ADMM z-step for one problem spec and move the
     operator on-device in ``dtype``."""
+    from direct_data_driven_mpc_tpu.qp.solution_map import (
+        _check_dtype_supported,
+    )
+
+    _check_dtype_supported(dtype)
     op = compute_admm_operator_np(spec, rho=rho)
     return ADMMSolver(
         **{k: jnp.asarray(v, dtype=dtype) for k, v in op.items()}

@@ -130,12 +130,28 @@ def compute_solution_operator_np(spec: QPSpec) -> dict:
     }
 
 
+
+
+def _check_dtype_supported(dtype) -> None:
+    """Fail fast when float64 is requested without jax_enable_x64 --
+    JAX would otherwise silently truncate the operator to float32 and
+    parity-critical paths would degrade without notice."""
+    import jax
+
+    if jnp.dtype(dtype) == jnp.dtype("float64") and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "float64 requested but jax_enable_x64 is off; enable it "
+            "(jax.config.update('jax_enable_x64', True)) or use float32."
+        )
+
+
 def compute_solution_map(spec: QPSpec, dtype=jnp.float32) -> SolutionMap:
     """Factorize the constant KKT system and derive the affine operator.
 
     Runs once at controller construction on the host in float64; the
     returned operator is cast to ``dtype`` for the on-device hot loop.
     """
+    _check_dtype_supported(dtype)
     op = compute_solution_operator_np(spec)
     return SolutionMap(
         **{
