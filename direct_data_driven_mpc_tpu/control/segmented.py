@@ -22,10 +22,6 @@ import numpy as np
 
 from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
 from direct_data_driven_mpc_tpu.ops.lti import LTIParams
-from direct_data_driven_mpc_tpu.parallel.batch import (
-    batched_closed_loop,
-    draw_noise_batch,
-)
 from direct_data_driven_mpc_tpu.utils.checkpoint import (
     load_checkpoint,
     save_checkpoint,
@@ -66,6 +62,14 @@ def run_segmented(
     """Run ``n_segments`` segments from ``state``, checkpointing after
     each when ``checkpoint_path`` is given. Returns the advanced state
     and the concatenated results of the segments run here."""
+    # Imported lazily: parallel.batch itself imports control.loop,
+    # whose package import pulls this module -- a top-level import here
+    # closes that cycle (import-order dependent failures).
+    from direct_data_driven_mpc_tpu.parallel.batch import (
+        batched_closed_loop,
+        draw_noise_batch,
+    )
+
     if segment_steps % n_mpc_step:
         # The engines advance the plant through padded steps of a
         # trailing partial solve block (outputs are trimmed, but the

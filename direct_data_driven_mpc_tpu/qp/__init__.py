@@ -14,6 +14,9 @@ from direct_data_driven_mpc_tpu.qp.admm import (
     ADMMSolver,
     compute_admm_solver,
 )
+from direct_data_driven_mpc_tpu.qp.distributed import (
+    make_distributed_kkt_solver,
+)
 
 __all__ = [
     "DataDrivenMPCType",
@@ -24,4 +27,5 @@ __all__ = [
     "compute_solution_map",
     "ADMMSolver",
     "compute_admm_solver",
+    "make_distributed_kkt_solver",
 ]
