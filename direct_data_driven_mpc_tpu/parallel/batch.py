@@ -79,3 +79,46 @@ def make_batched_rollout(
         )
 
     return jax.jit(run)
+
+
+def stack_solution_maps(sol_maps) -> SolutionMap:
+    """Stack per-realization solution operators into one batched pytree
+    (leading scenario axis) for :func:`heterogeneous_closed_loop`."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *sol_maps)
+
+
+def stack_plants(plants) -> LTIParams:
+    """Stack per-scenario plant matrices (leading scenario axis)."""
+    return jax.tree.map(lambda *xs: jnp.stack(jnp.asarray(xs)), *plants)
+
+
+def heterogeneous_closed_loop(
+    plants: LTIParams,
+    solvers: Union[SolutionMap, ADMMSolver],
+    x0s: jax.Array,
+    u_pasts: jax.Array,
+    y_pasts: jax.Array,
+    Ws: jax.Array,
+    n_steps: int,
+    n_mpc_step: int = 1,
+    admm_iters: int = 100,
+) -> ClosedLoopResult:
+    """Scenario batch where EVERY axis varies per scenario.
+
+    The reference's single-scenario design fixes the plant and the data
+    realization per run; BASELINE config 4's Monte-Carlo axis spans
+    noise seeds, DATA REALIZATIONS (different Hankel data -> different
+    solution operators) and PLANT PERTURBATIONS. Here all three vmap:
+    ``plants`` and ``solvers`` carry a leading scenario axis (build
+    operators per realization on the host -- ~40 ms each for the paper
+    size -- then :func:`stack_solution_maps`).
+    """
+
+    def one(plant_i, solver_i, x0, up, yp, W):
+        return closed_loop_rollout(
+            plant_i, solver_i, x0, up, yp, W,
+            n_steps=n_steps, n_mpc_step=n_mpc_step,
+            admm_iters=admm_iters,
+        )
+
+    return jax.vmap(one)(plants, solvers, x0s, u_pasts, y_pasts, Ws)

@@ -182,3 +182,78 @@ def test_sharded_linear_rollout_matches_unsharded(setup):
     )
     # The result must actually be sharded over the data axis.
     assert len(res.u_sys.sharding.device_set) == 8
+
+
+def test_heterogeneous_scenarios_all_axes_vary():
+    """Noise seeds, data realizations (distinct solution operators),
+    and plant perturbations all vmapped in one batch."""
+    from direct_data_driven_mpc_tpu.models.random_lti import (
+        random_stable_lti,
+    )
+    from direct_data_driven_mpc_tpu.parallel.batch import (
+        heterogeneous_closed_loop,
+        stack_plants,
+        stack_solution_maps,
+    )
+    from direct_data_driven_mpc_tpu.control.controller import (
+        DirectDataDrivenMPCController,
+    )
+    from direct_data_driven_mpc_tpu.qp.spec import (
+        DataDrivenMPCType,
+        SlackVarConstraintTypes,
+    )
+
+    B, n, m, p, L, n_steps = 3, 2, 1, 1, 6, 12
+    N = m * (L + 2 * n) + L + 2 * n + 5
+    plants, sols, x0s, ups, yps, Ws, singles = [], [], [], [], [], [], []
+    for b in range(B):
+        rng = np.random.default_rng(100 + b)
+        plant = random_stable_lti(
+            seed=200 + b, ns=n, m=m, p=p, spectral_radius=0.8
+        )
+        u_d = rng.uniform(-1, 1, (N, m))
+        w_d = 0.002 * rng.uniform(-1, 1, (N, p))
+        y_d = plant.simulate(u_d, w_d, N)
+        u_s = 0.3 * np.ones((m, 1))
+        y_s = plant.get_equilibrium_output_from_input(
+            u_s.flatten()
+        ).reshape(-1, 1)
+        ctrl = DirectDataDrivenMPCController(
+            n=n, m=m, p=p, u_d=u_d, y_d=y_d, L=L,
+            Q=3.0 * np.eye(p * L), R=1e-4 * np.eye(m * L),
+            u_s=u_s, y_s=y_s,
+            eps_max=0.002, lamb_alpha=50.0, lamb_sigma=1000.0, c=1.0,
+            slack_var_constraint_type=SlackVarConstraintTypes.NONE,
+            controller_type=DataDrivenMPCType.ROBUST, n_mpc_step=1,
+        )
+        plants.append(plant.as_params())
+        sols.append(ctrl.solution_map(dtype=jnp.float64))
+        x0s.append(plant.get_state().copy())
+        ups.append(ctrl.u_past.reshape(n, m).copy())
+        yps.append(ctrl.y_past.reshape(n, p).copy())
+        Ws.append(0.002 * rng.uniform(-1, 1, (n_steps, p)))
+        singles.append((plants[-1], sols[-1]))
+
+    batch = heterogeneous_closed_loop(
+        stack_plants(plants),
+        stack_solution_maps(sols),
+        jnp.asarray(np.stack(x0s)),
+        jnp.asarray(np.stack(ups)),
+        jnp.asarray(np.stack(yps)),
+        jnp.asarray(np.stack(Ws)),
+        n_steps=n_steps,
+    )
+    # Every lane must equal its own single-scenario rollout.
+    for b in range(B):
+        single = closed_loop_rollout(
+            singles[b][0], singles[b][1],
+            x0s[b], ups[b], yps[b], Ws[b], n_steps=n_steps,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch.u_sys[b]), np.asarray(single.u_sys),
+            atol=1e-12,
+        )
+    # Distinct plants/data -> distinct trajectories.
+    assert not np.allclose(
+        np.asarray(batch.y_sys[0]), np.asarray(batch.y_sys[1])
+    )
