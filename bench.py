@@ -27,6 +27,8 @@ headline config-4 metric unless a config is selected):
                                       # 10x10 plant, in-scan RNG noise
     python bench.py four_tank_convex  # CONVEX slack: warm-started
                                       # device ADMM in the scan
+    python bench.py pallas            # the Pallas fused-rollout kernel
+                                      # on the four-tank workload
 
 Prints exactly one JSON line on stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -196,6 +198,10 @@ def run_config(config: str) -> dict:
 
     if config == "four_tank_convex":
         return run_convex_config()
+
+    use_pallas = config == "pallas"
+    if use_pallas:
+        config = "four_tank_robust_pallas"
     from direct_data_driven_mpc_tpu.models.lti_model import LTIModel
     from direct_data_driven_mpc_tpu.models.random_lti import (
         random_stable_lti,
@@ -229,6 +235,8 @@ def run_config(config: str) -> dict:
             N, L = 800, 60
         else:
             N, L = 400, 30
+        if use_pallas:
+            B = 65536  # VMEM-tiled kernel; per-call floor amortizes less
         plant_model = LTIModel(
             A=np.array(
                 [
@@ -272,13 +280,32 @@ def run_config(config: str) -> dict:
     yps = jnp.tile(
         jnp.asarray(ctrl.y_past.reshape(n, p), dtype)[None], (B, 1, 1)
     )
-    # In-scan RNG noise: at B=256k an explicit noise tensor would be
-    # ~840 MB of pointless HBM traffic per run.
-    noise = jax.random.split(jax.random.key(0), B)
-    run = make_linear_batched_rollout(
-        bm, n_steps=T, use_rng_noise=True,
-        eps_max=plant_model.get_eps_max(), emit_trajectories=emit_traj,
-    )
+    if use_pallas:
+        from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
+            pallas_batched_rollout,
+        )
+        from direct_data_driven_mpc_tpu.parallel.batch import (
+            draw_noise_batch,
+        )
+
+        noise = draw_noise_batch(
+            jax.random.key(0), B, T, p, plant_model.get_eps_max(),
+            dtype=dtype,
+        )
+        run = jax.jit(
+            lambda a, b, c, d: pallas_batched_rollout(
+                bm, a, b, c, d, n_steps=T
+            )
+        )
+    else:
+        # In-scan RNG noise: at B=256k an explicit noise tensor would
+        # be ~840 MB of pointless HBM traffic per run.
+        noise = jax.random.split(jax.random.key(0), B)
+        run = make_linear_batched_rollout(
+            bm, n_steps=T, use_rng_noise=True,
+            eps_max=plant_model.get_eps_max(),
+            emit_trajectories=emit_traj,
+        )
 
     t0 = time.perf_counter()
     result = run(x0s, ups, yps, noise)
