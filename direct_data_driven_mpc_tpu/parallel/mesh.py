@@ -94,8 +94,9 @@ def make_mesh_rollout(
         )
 
     if use_mp:
+        u_rows = solver.u_base.shape[0]  # BEFORE padding: the gather
+        # must drop the zero padding rows, not keep them
         solver = _row_shard_solution_map(solver, n_model)
-        u_rows = solver.u_base.shape[0]
         solver_specs = SolutionMap(
             z_base=P(),
             Z=P(),

@@ -46,10 +46,24 @@ def save_checkpoint(path: str, state: Any, metadata: dict | None = None):
         )
         for i, x in enumerate(leaves)
     }
+
+    def _jsonable(v):
+        # Metadata values routinely arrive as numpy/JAX scalars (e.g. a
+        # segment index loaded from a previous checkpoint); plain
+        # json.dumps rejects them.
+        if isinstance(v, (np.generic, np.ndarray)) or hasattr(v, "item"):
+            try:
+                return np.asarray(v).item()
+            except Exception:
+                return str(v)
+        return v
+
     meta = {
         "treedef": str(treedef),
         "n_leaves": len(leaves),
-        "metadata": metadata or {},
+        "metadata": {
+            k: _jsonable(v) for k, v in (metadata or {}).items()
+        },
     }
     out_dir = os.path.dirname(os.path.abspath(path))
     os.makedirs(out_dir, exist_ok=True)
@@ -79,6 +93,12 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, dict]:
             raise ValueError(
                 f"Checkpoint has {meta['n_leaves']} leaves; template has "
                 f"{len(leaves_like)}."
+            )
+        if meta["treedef"] != str(treedef):
+            raise ValueError(
+                "Checkpoint pytree structure does not match the "
+                f"template: stored {meta['treedef']}, template "
+                f"{treedef}."
             )
         leaves = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
         for i, tmpl in enumerate(leaves_like):

@@ -40,11 +40,13 @@ class Timer:
         self.samples: List[float] = []
 
     @contextlib.contextmanager
-    def measure(self, result_to_block_on=None):
+    def measure(self):
+        """Wall-clock a host-side block. For DEVICE work use
+        :meth:`timeit` with synchronization inside the function (a
+        context manager cannot block on a result produced within its
+        own body)."""
         t0 = time.perf_counter()
         yield
-        if result_to_block_on is not None:
-            jax.block_until_ready(result_to_block_on)
         self.samples.append(time.perf_counter() - t0)
 
     def timeit(self, fn, *args, iters: int = 3, warmup: int = 1):

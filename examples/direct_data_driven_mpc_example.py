@@ -241,7 +241,7 @@ def main() -> None:
             )
 
             if (
-                dd_mpc_controller.slack_var_constraint_type
+                dd_mpc_controller.spec.slack_var_constraint_type
                 == _S.CONVEX
             ):
                 raise SystemExit(
@@ -279,8 +279,11 @@ def main() -> None:
                 closed_loop_rollout,
             )
 
+            # The EFFECTIVE slack type: NOMINAL controllers ignore the
+            # configured slack setting (the reference defines sigma
+            # constraints only for ROBUST, ref :494-498).
             if (
-                dd_mpc_controller.slack_var_constraint_type
+                dd_mpc_controller.spec.slack_var_constraint_type
                 == _S.CONVEX
             ):
                 solver = dd_mpc_controller.admm_solver()

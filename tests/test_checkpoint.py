@@ -122,3 +122,36 @@ def test_profiler_trace_writes_artifacts(tmp_path):
     assert out.shape == (4,)
     s = t.summary()
     assert s["n"] == 3 and s["p50_s"] >= 0
+
+
+def test_resume_then_checkpoint_again(tmp_path):
+    """Regression: a loaded segment index (numpy scalar) must be
+    JSON-serializable when the resumed run writes its own checkpoints."""
+    plant, ctrl, _ = _make_setup(n_mpc_step=1)
+    params = plant.as_params()
+    sol = ctrl.solution_map(dtype=jnp.float64)
+    key = jax.random.key(11)
+    ckpt = str(tmp_path / "state.npz")
+    s0 = _initial_state(plant, ctrl, 2, key)
+    mid, _ = run_segmented(
+        params, sol, s0, 0.002, segment_steps=5, n_segments=1,
+        checkpoint_path=ckpt, dtype=jnp.float64,
+    )
+    restored = resume_from_checkpoint(ckpt, _initial_state(plant, ctrl, 2, key))
+    # This second checkpointing run previously crashed with
+    # "Object of type int64 is not JSON serializable".
+    final, _ = run_segmented(
+        params, sol, restored, 0.002, segment_steps=5, n_segments=1,
+        checkpoint_path=ckpt, dtype=jnp.float64,
+    )
+    assert int(np.asarray(final.segment)) == 2
+
+
+def test_structure_mismatch_rejected(tmp_path):
+    """The stored treedef is actually compared against the template."""
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(path, {"a": np.zeros(2), "b": np.zeros(2)})
+    import pytest
+
+    with pytest.raises(ValueError, match="structure"):
+        load_checkpoint(path, {"a": np.zeros(2), "c": np.zeros(2)})

@@ -65,3 +65,16 @@ def test_persistent_excitation_constant_data_fails():
     rank, ok = evaluate_persistent_excitation(X, 8)
     assert not ok
     assert rank == 1
+
+
+def test_persistent_excitation_float32_input_not_misranked():
+    """Regression: rank-deficient data arriving as float32 (or through
+    a float32 JAX pipeline) must still fail the PE check -- casting
+    noise must not inflate the rank past the float64 threshold."""
+    rng = np.random.default_rng(0)
+    # Rank-2 input data: two independent columns replicated.
+    base = rng.uniform(-1, 1, (60, 1))
+    X = np.hstack([base, 2.0 * base]).astype(np.float32)  # rank 1 rows
+    rank, ok = evaluate_persistent_excitation(X, 8)
+    assert not ok
+    assert rank < 2 * 8

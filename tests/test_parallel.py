@@ -257,3 +257,23 @@ def test_heterogeneous_scenarios_all_axes_vary():
     assert not np.allclose(
         np.asarray(batch.y_sys[0]), np.asarray(batch.y_sys[1])
     )
+
+
+def test_mesh_model_parallel_with_row_padding(setup):
+    """Regression: gain rows (L*m = 60) padded to the model axis (8 ->
+    64) must be dropped after the gather, not fed to the plant."""
+    params, sol, x0, up, yp = setup
+    mesh = make_scenario_mesh(n_data=1, n_model=8)  # 60 % 8 != 0 -> pad
+    B, n_steps = 4, 10
+    key = jax.random.key(4)
+    x0s, ups, yps, Ws = _batch_inputs(x0, up, yp, B, n_steps, key)
+    run_mp = make_mesh_rollout(
+        mesh, params, sol, n_steps=n_steps, model_parallel=True
+    )
+    result, _ = run_mp(x0s, ups, yps, Ws)
+    ref = batched_closed_loop(
+        params, sol, x0s, ups, yps, Ws, n_steps=n_steps
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.u_sys), np.asarray(ref.u_sys), atol=1e-10
+    )
