@@ -83,17 +83,15 @@ def evaluate_persistent_excitation(
     Returns:
         ``(rank, is_persistently_exciting)``.
     """
-    # Build the Hankel matrix in float64 on the host: routing through
-    # JAX with x64 off would cast the data to float32, whose ~1e-7
-    # relative perturbation dwarfs the float64 rank threshold and makes
+    # Delegates to the float64 host twin: routing through JAX with x64
+    # off would cast the data to float32, whose ~1e-7 relative
+    # perturbation dwarfs the float64 rank threshold and makes
     # rank-deficient data look persistently exciting.
     X_np = np.asarray(X, dtype=np.float64)
-    n = X_np.shape[1]
-    N = X_np.shape[0]
-    if N < order:
-        raise ValueError("N must be greater than or equal to L.")
-    n_cols = N - order + 1
-    starts = np.arange(order)[:, None] + np.arange(n_cols)[None, :]
-    H = X_np[starts].transpose(0, 2, 1).reshape(order * n, n_cols)
-    rank = int(np.linalg.matrix_rank(H, tol=tol))
-    return rank, bool(rank == n * order)
+    if X_np.ndim != 2:
+        raise ValueError(f"X must be 2-D (N, n); got shape {X_np.shape}.")
+    from direct_data_driven_mpc_tpu.ops.host import (
+        evaluate_persistent_excitation_np,
+    )
+
+    return evaluate_persistent_excitation_np(X_np, order, tol=tol)

@@ -89,7 +89,7 @@ def stack_solution_maps(sol_maps) -> SolutionMap:
 
 def stack_plants(plants) -> LTIParams:
     """Stack per-scenario plant matrices (leading scenario axis)."""
-    return jax.tree.map(lambda *xs: jnp.stack(jnp.asarray(xs)), *plants)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *plants)
 
 
 def heterogeneous_closed_loop(

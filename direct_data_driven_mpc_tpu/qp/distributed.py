@@ -51,8 +51,6 @@ class ShardedKKTOperand(NamedTuple):
     h_u_diag: jax.Array  # (n_u,) diagonal of the ubar cost block
     h_y_diag: jax.Array  # (n_y,)
     h_sigma_diag: jax.Array  # () ridge 2*lamb_sigma (0 if no sigma)
-    g_u: jax.Array  # (n_u,)
-    g_y: jax.Array  # (n_y,)
 
 
 def _extract_blocks(spec: QPSpec):
@@ -69,6 +67,18 @@ def _extract_blocks(spec: QPSpec):
     asl, usl, ysl = spec.alpha_slice, spec.ubar_slice, spec.ybar_slice
     Hu = -spec.A[0 : d.n_u, asl]
     Hy = -spec.A[d.n_u : d.n_u + d.n_y, asl]
+    # The sharded matvec models the ubar/ybar Hessian blocks as
+    # diagonals; anything else (cross-weighted Q/R) would be silently
+    # truncated, so reject it outright.
+    for name, sl in (("R", usl), ("Q", ysl)):
+        block = spec.H[sl, sl]
+        if np.abs(block - np.diag(np.diag(block))).max() > 1e-12 * max(
+            1.0, np.abs(block).max()
+        ):
+            raise NotImplementedError(
+                f"The distributed solver currently supports diagonal "
+                f"{name} weighting blocks only."
+            )
     h_alpha = float(spec.H[asl, asl][0, 0]) if robust else 0.0
     h_u = np.diag(spec.H[usl, usl]).copy()
     h_y = np.diag(spec.H[ysl, ysl]).copy()
@@ -99,8 +109,6 @@ def build_sharded_kkt(
         h_u_diag=jnp.asarray(h_u, dtype=dtype),
         h_y_diag=jnp.asarray(h_y, dtype=dtype),
         h_sigma_diag=jnp.asarray(h_sigma, dtype=dtype),
-        g_u=jnp.asarray(spec.g[spec.ubar_slice], dtype=dtype),
-        g_y=jnp.asarray(spec.g[spec.ybar_slice], dtype=dtype),
     )
     meta = {
         "robust": robust,
@@ -110,8 +118,6 @@ def build_sharded_kkt(
         "use_terminal": spec.use_terminal_constraint,
         "b_const": np.asarray(spec.b_const, dtype=np.float64),
         "S": np.asarray(spec.S, dtype=np.float64),
-        "u_pred_slice": spec.u_pred_slice,
-        "alpha_pad": pad,
     }
     return operand, meta
 
@@ -147,8 +153,6 @@ def make_distributed_kkt_solver(
     n_dyn = n_u + n_y
     n_int_u = d.n * d.m
     n_int_y = d.n * d.p
-
-    g_alpha_zero = jnp.zeros((n_dev, shard_cols), dtype=dtype)
 
     def _kkt_matvec(op, alpha_s, rest):
         """One sharded KKT matvec. alpha_s: (shard_cols,) local;
@@ -221,8 +225,6 @@ def make_distributed_kkt_solver(
             h_u_diag=P(),
             h_y_diag=P(),
             h_sigma_diag=P(),
-            g_u=P(),
-            g_y=P(),
         ),
         P(axis),  # rhs alpha part, sharded (zeros)
         P(),  # rhs rest part, replicated
@@ -238,9 +240,6 @@ def make_distributed_kkt_solver(
     def minres(op, rhs_alpha, rhs_rest):
         """MINRES on the symmetric (possibly singular, consistent) KKT
         system; returns (alpha_shard, rest, residual_norm)."""
-        op = jax.tree.map(
-            lambda a: a[0] if a.ndim and a.shape[0] == 1 else a, op
-        )
         rhs_a = rhs_alpha.reshape(-1)
         b_norm = jnp.sqrt(_dot(rhs_a, rhs_rest, rhs_a, rhs_rest))
 
@@ -259,9 +258,13 @@ def make_distributed_kkt_solver(
         w_prev_a = jnp.zeros_like(v_a)
         w_prev_r = jnp.zeros_like(v_r)
         eta = beta
-        c_prev, s_prev = 1.0, 0.0
-        c_pprev, s_pprev = 1.0, 0.0
-        beta_prev = 0.0
+        # Scalars typed to the solve dtype: Python floats would weak-
+        # promote to f64 under x64 and break the fori_loop carry.
+        one = jnp.asarray(1.0, dtype=dtype)
+        zero = jnp.asarray(0.0, dtype=dtype)
+        c_prev, s_prev = one, zero
+        c_pprev, s_pprev = one, zero
+        beta_prev = zero
 
         def body(i, st):
             (x_a, x_r, v_a, v_r, v_prev_a, v_prev_r, w_a, w_r,

@@ -48,14 +48,13 @@ def save_checkpoint(path: str, state: Any, metadata: dict | None = None):
     }
 
     def _jsonable(v):
-        # Metadata values routinely arrive as numpy/JAX scalars (e.g. a
-        # segment index loaded from a previous checkpoint); plain
-        # json.dumps rejects them.
-        if isinstance(v, (np.generic, np.ndarray)) or hasattr(v, "item"):
-            try:
-                return np.asarray(v).item()
-            except Exception:
-                return str(v)
+        # Metadata values routinely arrive as numpy/JAX scalars or
+        # arrays (e.g. a segment index loaded from a previous
+        # checkpoint); plain json.dumps rejects them.
+        if isinstance(v, (np.generic, np.ndarray)) or hasattr(
+            v, "tolist"
+        ):
+            return np.asarray(v).tolist()
         return v
 
     meta = {
