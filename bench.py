@@ -236,7 +236,10 @@ def run_config(config: str) -> dict:
         else:
             N, L = 400, 30
         if use_pallas:
-            B = 65536  # VMEM-tiled kernel; per-call floor amortizes less
+            # Smaller batch: the kernel's B=65536 variant can exceed
+            # this tunnel's remote-compile budget; B=16384 compiled
+            # reliably in ~3 min.
+            B = 16384
         plant_model = LTIModel(
             A=np.array(
                 [
