@@ -192,7 +192,7 @@ def run_config(config: str) -> dict:
     import jax.numpy as jnp
 
     from direct_data_driven_mpc_tpu.control.linear_engine import (
-        build_affine_block_map,
+        build_linear_engine,
         make_linear_batched_rollout,
     )
 
@@ -267,9 +267,8 @@ def run_config(config: str) -> dict:
         f"nc={ctrl.spec.nc}")
 
     t0 = time.perf_counter()
-    bm = build_affine_block_map(
-        plant_model.as_params(), ctrl._op, n=n, m=m, p=p,
-        solves_per_block=K, dtype=dtype,
+    bm = build_linear_engine(
+        ctrl, plant_model.as_params(), solves_per_block=K, dtype=dtype,
     )
     log(f"affine block-map composition (K={K}): "
         f"{time.perf_counter() - t0:.2f}s")

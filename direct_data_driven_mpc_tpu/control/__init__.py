@@ -11,6 +11,7 @@ from direct_data_driven_mpc_tpu.control.loop import (
 from direct_data_driven_mpc_tpu.control.linear_engine import (
     AffineBlockMap,
     build_affine_block_map,
+    build_linear_engine,
     closed_loop_spectrum,
     linear_closed_loop_rollout,
     make_linear_batched_rollout,
@@ -29,6 +30,7 @@ __all__ = [
     "closed_loop_rollout",
     "AffineBlockMap",
     "build_affine_block_map",
+    "build_linear_engine",
     "closed_loop_spectrum",
     "linear_closed_loop_rollout",
     "make_linear_batched_rollout",

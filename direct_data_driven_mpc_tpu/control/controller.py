@@ -287,6 +287,20 @@ class DirectDataDrivenMPCController:
             self._spec, dtype=dtype or jnp.float32
         )
 
+    def solution_operator(self) -> dict:
+        """The float64 affine solution operator (slack-NONE paths): the
+        public entry for the condensed engine
+        (``control.linear_engine.build_affine_block_map`` /
+        ``build_linear_engine``). Keys: ``z_base, Z, u_base, U_gain,
+        cost_P, cost_q, cost_r`` (see
+        ``qp.solution_map.compute_solution_operator_np``)."""
+        if self._use_admm:
+            raise ValueError(
+                "CONVEX slack controllers do not condense to an affine "
+                "operator; use admm_solver() with the generic engine."
+            )
+        return self._op
+
     def admm_solver(self, dtype=None) -> ADMMSolver:
         """Device-resident ADMM operator (CONVEX slack paths)."""
         import jax.numpy as jnp

@@ -204,6 +204,37 @@ def build_affine_block_map(
     )
 
 
+def build_linear_engine(
+    controller,
+    plant: LTIParams,
+    n_mpc_step: Optional[int] = None,
+    solves_per_block: int = 1,
+    center: bool = True,
+    dtype=jnp.float32,
+) -> AffineBlockMap:
+    """Public condensed-engine entry: block map straight from a
+    :class:`~direct_data_driven_mpc_tpu.control.controller.\
+DirectDataDrivenMPCController` (slack-NONE variants).
+
+    Dimensions and the solve cadence default to the controller's own;
+    the float64 solution operator comes from
+    ``controller.solution_operator()`` -- no private attributes.
+    """
+    if n_mpc_step is None:
+        n_mpc_step = controller.n_mpc_step
+    return build_affine_block_map(
+        plant,
+        controller.solution_operator(),
+        n=controller.n,
+        m=controller.m,
+        p=controller.p,
+        n_mpc_step=n_mpc_step,
+        solves_per_block=solves_per_block,
+        center=center,
+        dtype=dtype,
+    )
+
+
 def closed_loop_spectrum(block_map: AffineBlockMap) -> dict:
     """Eigen-analysis of the condensed closed-loop transition matrix.
 

@@ -34,10 +34,24 @@ def draw_noise_batch(
     dtype=jnp.float32,
 ) -> jax.Array:
     """Bounded uniform measurement noise ``(batch, n_steps, p)`` in
-    ``eps_max * [-1, 1]`` with one threefry fold per scenario."""
-    return eps_max * jax.random.uniform(
-        key, (batch, n_steps, p), minval=-1.0, maxval=1.0, dtype=dtype
-    )
+    ``eps_max * [-1, 1]`` with one threefry fold per scenario.
+
+    Scenario ``i``'s noise depends only on ``(key, i)``: growing or
+    repartitioning the batch never changes an existing scenario's draw
+    (the host-count-invariance contract of
+    ``parallel/multihost.py::global_scenario_keys``).
+    """
+
+    def one(i):
+        return jax.random.uniform(
+            jax.random.fold_in(key, i),
+            (n_steps, p),
+            minval=-1.0,
+            maxval=1.0,
+            dtype=dtype,
+        )
+
+    return eps_max * jax.vmap(one)(jnp.arange(batch))
 
 
 def batched_closed_loop(

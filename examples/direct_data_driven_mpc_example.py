@@ -236,7 +236,7 @@ def main() -> None:
         )
         if args.engine == "linear":
             from direct_data_driven_mpc_tpu.control.linear_engine import (
-                build_affine_block_map,
+                build_linear_engine,
                 linear_closed_loop_rollout,
             )
 
@@ -249,13 +249,9 @@ def main() -> None:
                     "(the ADMM clip does not condense); use --engine "
                     "fused."
                 )
-            bm = build_affine_block_map(
+            bm = build_linear_engine(
+                dd_mpc_controller,
                 system_model.as_params(),
-                dd_mpc_controller._op,
-                n=dd_mpc_controller.n,
-                m=m,
-                p=p,
-                n_mpc_step=dd_mpc_controller.n_mpc_step,
                 solves_per_block=min(
                     50,
                     -(-n_steps // dd_mpc_controller.n_mpc_step),

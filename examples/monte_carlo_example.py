@@ -71,7 +71,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from direct_data_driven_mpc_tpu.control.linear_engine import (
-        build_affine_block_map,
+        build_linear_engine,
         closed_loop_spectrum,
         make_linear_batched_rollout,
     )
@@ -107,12 +107,9 @@ def main() -> None:
         )
 
     # Condensed engine + stability certificate.
-    bm = build_affine_block_map(
+    bm = build_linear_engine(
+        ctrl,
         system_model.as_params(),
-        ctrl._op,
-        n=n,
-        m=m,
-        p=p,
         solves_per_block=args.solves_per_block,
     )
     spectrum = closed_loop_spectrum(bm)

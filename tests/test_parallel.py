@@ -66,6 +66,21 @@ def test_noise_batch_deterministic_per_scenario():
     assert np.abs(np.asarray(W8)).max() <= 0.002
 
 
+def test_noise_batch_invariant_to_batch_size():
+    # Scenario i's draw depends only on (key, i): growing the batch or
+    # partitioning it across hosts must not change existing scenarios.
+    key = jax.random.key(11)
+    W4 = np.asarray(draw_noise_batch(key, 4, 10, 2, 0.002))
+    W16 = np.asarray(draw_noise_batch(key, 16, 10, 2, 0.002))
+    np.testing.assert_array_equal(W4, W16[:4])
+    # Per-scenario draw equals the scalar fold_in recipe.
+    w2 = 0.002 * jax.random.uniform(
+        jax.random.fold_in(key, 2), (10, 2), minval=-1.0, maxval=1.0,
+        dtype=W4.dtype,
+    )
+    np.testing.assert_array_equal(W16[2], np.asarray(w2))
+
+
 def test_mesh_data_parallel_matches_vmap(setup):
     params, sol, x0, up, yp = setup
     mesh = make_scenario_mesh(n_data=4, n_model=2)
