@@ -64,6 +64,91 @@ def measure_baseline_single_core(spec, theta, n_solves: int = 10) -> float:
     return n_solves / dt
 
 
+def make_amortized_linear_run(bm, n_steps, eps_max, emit_traj):
+    """One jitted call running R back-to-back batched rollouts.
+
+    The fixed per-call relay cost of this tunnel (tens of ms) dominates
+    a single rollout; amortizing R repetitions inside ONE call makes
+    the reading an on-device throughput measurement. R is a TRACED
+    fori_loop trip count, so one compile serves every R -- the same
+    executable is timed at R=1 and R=R_big and the per-call constant
+    falls out of the difference. Repetition i folds i into every
+    scenario's noise key (a fresh Monte-Carlo realization per rep --
+    nothing is CSE-able) and every repetition's trajectories, costs and
+    final states are reduced into a carried checksum so no work can be
+    dead-code-eliminated.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from direct_data_driven_mpc_tpu.control.linear_engine import (
+        linear_closed_loop_rollout,
+    )
+
+    def run(x0s, ups, yps, keys, R):
+        def one_rep(i, carry):
+            checksum, ok = carry
+
+            def one(x0, up, yp, k):
+                return linear_closed_loop_rollout(
+                    bm, x0, up, yp,
+                    n_steps=n_steps,
+                    noise_key=jax.random.fold_in(k, i),
+                    eps_max=eps_max,
+                    emit_trajectories=emit_traj,
+                )
+
+            res = jax.vmap(one)(x0s, ups, yps, keys)
+            checksum = (
+                checksum
+                + jnp.sum(res.costs[:, -1])
+                + jnp.sum(res.x_final)
+            )
+            if emit_traj:
+                checksum = checksum + jnp.sum(res.u_sys) + jnp.sum(
+                    res.y_sys
+                )
+            ok = ok & jnp.all(res.converged) & jnp.isfinite(checksum)
+            return (checksum, ok)
+
+        return jax.lax.fori_loop(
+            0, R, one_rep, (jnp.float32(0.0), jnp.bool_(True))
+        )
+
+    return jax.jit(run)
+
+
+def time_amortized(run_fn, args, R_small: int = 1, R_big: int = 16,
+                   reps: int = 2):
+    """Time the amortized runner at two R values and decompose wall =
+    per_call_overhead + R * per_rep. Returns a dict of timings (s)."""
+    import time as _time
+
+    def timed(R):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            checksum, ok = run_fn(*args, R)
+            _ = float(checksum)  # true sync via readback
+            assert bool(ok), "non-finite or non-converged lanes"
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    t_small = timed(R_small)
+    t_big = timed(R_big)
+    per_rep = (t_big - t_small) / (R_big - R_small)
+    overhead = max(t_small - R_small * per_rep, 0.0)
+    return {
+        "t_small": t_small,
+        "t_big": t_big,
+        "R_small": R_small,
+        "R_big": R_big,
+        "per_rep": per_rep,
+        "per_call_overhead": overhead,
+        "overhead_frac_of_big": overhead / t_big if t_big else 0.0,
+    }
+
+
 def _controller(N, L, plant_model, rng, n, m, p, u_s, y_s):
     from direct_data_driven_mpc_tpu.control.controller import (
         DirectDataDrivenMPCController,
@@ -284,7 +369,7 @@ def run_config(config: str) -> dict:
     )
     if use_pallas:
         from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
-            pallas_batched_rollout,
+            make_amortized_pallas_run,
         )
         from direct_data_driven_mpc_tpu.parallel.batch import (
             draw_noise_batch,
@@ -294,42 +379,56 @@ def run_config(config: str) -> dict:
             jax.random.key(0), B, T, p, plant_model.get_eps_max(),
             dtype=dtype,
         )
-        run = jax.jit(
-            lambda a, b, c, d: pallas_batched_rollout(
-                bm, a, b, c, d, n_steps=T
-            )
-        )
+        run = make_amortized_pallas_run(bm, n_steps=T)
+        args = (x0s, ups, yps, noise)
     else:
         # In-scan RNG noise: at B=256k an explicit noise tensor would
         # be ~840 MB of pointless HBM traffic per run.
         noise = jax.random.split(jax.random.key(0), B)
-        run = make_linear_batched_rollout(
-            bm, n_steps=T, use_rng_noise=True,
-            eps_max=plant_model.get_eps_max(),
-            emit_trajectories=emit_traj,
+        run = make_amortized_linear_run(
+            bm, n_steps=T, eps_max=plant_model.get_eps_max(),
+            emit_traj=emit_traj,
         )
+        args = (x0s, ups, yps, noise)
 
+    R_big = 16
     t0 = time.perf_counter()
-    result = run(x0s, ups, yps, noise)
-    jax.block_until_ready(result)
-    _ = float(result.costs[0, -1])  # force real completion (readback);
+    checksum, ok = run(*args, 1)
+    _ = float(checksum)  # force real completion (readback);
     # block_until_ready alone does not synchronize on this platform
-    log(f"compile + first run: {time.perf_counter() - t0:.2f}s")
-    assert bool(jnp.isfinite(result.costs).all()), "non-finite costs"
-    assert bool(jnp.all(result.converged)), "solver lanes not converged"
+    log(f"compile + first run (R=1): {time.perf_counter() - t0:.2f}s")
+    assert bool(ok), "non-finite or non-converged lanes"
 
-    times = []
-    for _ in range(3):
+    tm = time_amortized(run, args, R_small=1, R_big=R_big)
+    solves = B * T * R_big
+    solves_per_s = solves / tm["t_big"]
+    log(f"amortized timing: R=1 {tm['t_small']:.3f}s, R={R_big} "
+        f"{tm['t_big']:.3f}s -> per-rollout {tm['per_rep']:.3f}s, "
+        f"per-call relay constant {tm['per_call_overhead'] * 1e3:.0f} ms "
+        f"({tm['overhead_frac_of_big'] * 100:.1f}% of the timed wall)")
+    log(f"{solves} solves in one call -> {solves_per_s:,.0f} "
+        f"solves/s/chip (on-device rate "
+        f"{B * T / tm['per_rep']:,.0f} solves/s)")
+
+    if use_pallas:
+        # Head-to-head: the XLA condensed engine on the IDENTICAL
+        # workload (same B, T, K, trajectories emitted), measured with
+        # the same amortized harness (VERDICT round-1 item 3).
+        xla_run = make_amortized_linear_run(
+            bm, n_steps=T, eps_max=plant_model.get_eps_max(),
+            emit_traj=True,
+        )
+        xla_args = (x0s, ups, yps, jax.random.split(jax.random.key(0), B))
         t0 = time.perf_counter()
-        result = run(x0s, ups, yps, noise)
-        jax.block_until_ready(result)
-        _ = float(result.costs[0, -1])  # true sync via readback
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
-    solves = B * T
-    solves_per_s = solves / elapsed
-    log(f"timed runs: {[f'{t:.3f}s' for t in times]}; "
-        f"{solves} solves -> {solves_per_s:,.0f} solves/s/chip")
+        checksum, ok = xla_run(*xla_args, 1)
+        _ = float(checksum)
+        log(f"XLA engine compile + first run (R=1): "
+            f"{time.perf_counter() - t0:.2f}s")
+        assert bool(ok)
+        tm_x = time_amortized(xla_run, xla_args, R_small=1, R_big=R_big)
+        log(f"XLA engine per-rollout {tm_x['per_rep']:.3f}s vs Pallas "
+            f"{tm['per_rep']:.3f}s -> pallas/XLA speedup "
+            f"{tm_x['per_rep'] / tm['per_rep']:.2f}x at B={B}")
 
     # Single-scenario per-step latency (host affine path, p50) -- the
     # real-time-budget metric.

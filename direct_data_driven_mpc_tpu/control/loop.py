@@ -54,6 +54,10 @@ class ClosedLoopResult(NamedTuple):
     x_final: jax.Array  # (ns,) final plant state (pre-trim semantics)
     u_past: jax.Array  # (n, m) final past-input window
     y_past: jax.Array  # (n, p) final past-output window
+    solver_state: Optional[ADMMState] = None  # final iterative-solver
+    # warm-start state (ADMM (s, w); None for exact affine solvers) --
+    # feed back via solver_state0 so a segmented run is trajectory-
+    # identical to an uninterrupted one
 
 
 SolveFn = Callable[[jax.Array, Optional[ADMMState]],
@@ -119,6 +123,7 @@ def closed_loop_rollout(
     n_steps: int,
     n_mpc_step: int = 1,
     admm_iters: int = 100,
+    solver_state0: Optional[ADMMState] = None,
 ) -> ClosedLoopResult:
     """Run the closed loop for ``n_steps`` with noise sequence ``W``.
 
@@ -133,6 +138,10 @@ def closed_loop_rollout(
         n_steps: closed-loop length (static).
         n_mpc_step: inputs applied per solve (Algorithm 2), static.
         admm_iters: ADMM iterations per solve (CONVEX variant only).
+        solver_state0: initial iterative-solver warm-start state; pass
+           a previous segment's ``result.solver_state`` to make
+           segmented ADMM runs trajectory-identical to uninterrupted
+           ones (defaults to the solver's cold start).
 
     Returns:
         :class:`ClosedLoopResult`.
@@ -146,7 +155,11 @@ def closed_loop_rollout(
         *(jnp.asarray(a, dtype=dtype) for a in plant)
     )
 
-    solve_fn, solver_state0 = make_solve_fn(solver, m, admm_iters=admm_iters)
+    solve_fn, default_state0 = make_solve_fn(
+        solver, m, admm_iters=admm_iters
+    )
+    if solver_state0 is None:
+        solver_state0 = default_state0
 
     n_blocks = math.ceil(n_steps / n_mpc_step)
     pad = n_blocks * n_mpc_step - n_steps
@@ -182,8 +195,8 @@ def closed_loop_rollout(
         jnp.asarray(y_past, dtype=dtype),
         solver_state0,
     )
-    (x, up, yp, _), (u_blocks, y_blocks, costs, oks) = jax.lax.scan(
-        block_step, carry0, W_pad
+    (x, up, yp, sstate_fin), (u_blocks, y_blocks, costs, oks) = (
+        jax.lax.scan(block_step, carry0, W_pad)
     )
 
     u_sys = u_blocks.reshape(n_blocks * n_mpc_step, m)[:n_steps]
@@ -196,6 +209,7 @@ def closed_loop_rollout(
         x_final=x,
         u_past=up,
         y_past=yp,
+        solver_state=sstate_fin,
     )
 
 

@@ -1,8 +1,9 @@
 """Segmented, checkpointable closed-loop execution.
 
 Splits a long rollout into fixed-length segments. Between segments the
-full rollout state (plant state, measurement windows, segment index,
-base PRNG key) is a small pytree that can be checkpointed and resumed
+full rollout state (plant state, measurement windows, iterative-solver
+warm start, segment index, base PRNG key) is a small pytree that can
+be checkpointed and resumed
 deterministically: segment ``i``'s noise is drawn from
 ``jax.random.fold_in(base_key, i)``, so a run producing segments
 0..k then resuming from a checkpoint at k produces BIT-IDENTICAL
@@ -38,11 +39,20 @@ class SegmentState:
     segment: int  # next segment index to run (scalar leaf so it
     # round-trips through checkpoints)
     key: jax.Array  # base PRNG key (never advanced; folded per segment)
+    solver_state: object = None  # batched iterative-solver warm start
+    # (ADMMState with (B, nbox) leaves for CONVEX-slack solvers; None
+    # for exact affine solvers). Carried so segment boundaries do NOT
+    # cold-start ADMM: a segmented run is trajectory-identical to an
+    # uninterrupted one. When resuming an ADMM run from a checkpoint,
+    # the template passed to resume_from_checkpoint must carry a
+    # zero-filled ADMMState of the right shape (the pytree structure
+    # must match the saved state).
 
 
 jax.tree_util.register_dataclass(
     SegmentState,
-    data_fields=["x", "u_past", "y_past", "segment", "key"],
+    data_fields=["x", "u_past", "y_past", "segment", "key",
+                 "solver_state"],
     meta_fields=[],
 )
 
@@ -100,6 +110,7 @@ def run_segmented(
             n_steps=segment_steps,
             n_mpc_step=n_mpc_step,
             admm_iters=admm_iters,
+            solver_state0=state.solver_state,
         )
         state = SegmentState(
             x=result.x_final,
@@ -107,6 +118,7 @@ def run_segmented(
             y_past=result.y_past,
             segment=state.segment + 1,
             key=state.key,
+            solver_state=result.solver_state,
         )
         u_parts.append(np.asarray(result.u_sys))
         y_parts.append(np.asarray(result.y_sys))
@@ -127,6 +139,7 @@ def run_segmented(
         x_final=state.x,
         u_past=state.u_past,
         y_past=state.y_past,
+        solver_state=state.solver_state,
     )
     return state, combined
 

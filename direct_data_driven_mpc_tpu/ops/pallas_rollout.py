@@ -106,6 +106,67 @@ def build_theta_operator(block_map: AffineBlockMap, ns: int):
     return OtS_T, otc, OtW_T, K
 
 
+#: TPU VMEM scoped limit on this platform (see CLAUDE.md): kernels must
+#: keep operator + double-buffered data blocks under this.
+VMEM_LIMIT_BYTES = 16 * 1024 * 1024
+
+
+def pallas_vmem_bytes(block_map: AffineBlockMap, batch_block: int) -> int:
+    """Estimated VMEM residency of one grid step of the rollout kernel:
+    the replicated operator matrices (resident once) plus the
+    double-buffered per-block data/output tiles plus the carry scratch.
+
+    A conservative planning number (ignores sublane/lane padding of
+    tiny vectors), used by :func:`pick_batch_block` to keep large
+    ``S``/``K`` configurations inside the 16 MB scoped VMEM limit.
+    """
+    S = block_map.M_T.shape[0]
+    nw = block_map.N_T.shape[0]
+    Ku = block_map.ou_c.shape[0]
+    Kp = block_map.oy_c.shape[0]
+    n_theta = block_map.cost_P.shape[0]
+    K = block_map.os_c.shape[0] // S
+    Kt = K * n_theta
+    itemsize = 4  # kernel computes in float32
+    op_elems = (
+        S * S + S + nw * S  # M_T, c, N_T
+        + S * Ku + Ku + nw * Ku  # Ou
+        + S * Kp + Kp + nw * Kp  # Oy
+        + S * Kt + Kt + nw * Kt  # Otheta
+    )
+    blk_elems = batch_block * (
+        S  # s0 block
+        + nw  # W block
+        + Ku + Kp + Kt  # U/Y/TH output blocks
+        + S  # s_fin block
+    )
+    scratch_elems = batch_block * S
+    # Data blocks are double-buffered by the pipeline; the operator is
+    # fetched once (same block every program).
+    return itemsize * (op_elems + 2 * blk_elems + scratch_elems)
+
+
+def pick_batch_block(
+    block_map: AffineBlockMap,
+    B: int,
+    limit_bytes: int = VMEM_LIMIT_BYTES,
+    headroom: float = 0.85,
+) -> int:
+    """Largest power-of-two batch block (>= 8 sublanes) dividing ``B``
+    whose estimated VMEM residency fits under ``headroom * limit``."""
+    budget = headroom * limit_bytes
+    cand = 1024
+    while cand >= 8:
+        if B % cand == 0 and pallas_vmem_bytes(block_map, cand) <= budget:
+            return cand
+        cand //= 2
+    raise ValueError(
+        f"No batch block of B={B} fits the VMEM budget "
+        f"({pallas_vmem_bytes(block_map, 8)} bytes at block 8 vs "
+        f"{budget:.0f} available); shrink solves_per_block."
+    )
+
+
 def make_pallas_rollout(
     block_map: AffineBlockMap,
     n_outer: int,
@@ -196,16 +257,19 @@ def pallas_batched_rollout(
     Ws: jax.Array,  # (B, n_steps, p)
     n_steps: int,
     n_mpc_step: int = 1,
-    batch_block: int = 256,
+    batch_block: int | None = None,
     interpret: bool = False,
 ):
     """Convenience wrapper matching ``make_linear_batched_rollout``'s
-    result contract (returns a ClosedLoopResult)."""
+    result contract (returns a ClosedLoopResult). ``batch_block=None``
+    auto-sizes the block to the VMEM budget."""
     import math
 
     from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
 
     B = x0s.shape[0]
+    if batch_block is None:
+        batch_block = pick_batch_block(block_map, B)
     m = u_pasts.shape[2]
     p = y_pasts.shape[2]
     S = block_map.M_T.shape[0]
@@ -271,3 +335,99 @@ def pallas_batched_rollout(
             y_pasts.shape
         ),
     )
+
+
+def make_amortized_pallas_run(
+    block_map: AffineBlockMap,
+    n_steps: int,
+    n_mpc_step: int = 1,
+    batch_block: int | None = None,
+    interpret: bool = False,
+):
+    """Amortized-throughput harness for the kernel (same contract as
+    ``bench.make_amortized_linear_run``): one jitted call runs ``R``
+    back-to-back kernel rollouts, R a traced fori_loop trip count.
+
+    Repetition ``i`` rotates the packed noise by ``i`` outer blocks (a
+    distinct bounded-noise realization per rep; nothing CSE-able) and
+    every repetition's outputs -- including the per-solve cost
+    quadratic-form pass, to match the XLA engine's per-rollout work --
+    fold into a carried checksum so nothing is dead-code-eliminated.
+
+    Returns jitted ``run(x0s, u_pasts, y_pasts, Ws, R) ->
+    (checksum, ok)``.
+    """
+    import math
+
+    S = block_map.M_T.shape[0]
+    n_theta = block_map.cost_P.shape[0]
+    K = block_map.os_c.shape[0] // S
+    steps_per_outer = K * n_mpc_step
+    n_outer = math.ceil(n_steps / steps_per_outer)
+    n_solves = math.ceil(n_steps / n_mpc_step)
+    pad = n_outer * steps_per_outer - n_steps
+
+    def run(x0s, u_pasts, y_pasts, Ws, R):
+        B = x0s.shape[0]
+        p = y_pasts.shape[2]
+        bb = batch_block
+        if bb is None:
+            bb = pick_batch_block(block_map, B)
+        kernel = make_pallas_rollout(
+            block_map, n_outer, batch_block=bb, interpret=interpret
+        )
+        s0 = (
+            jnp.concatenate(
+                [
+                    x0s.reshape(B, -1),
+                    u_pasts.reshape(B, -1),
+                    y_pasts.reshape(B, -1),
+                ],
+                axis=1,
+            ).astype(jnp.float32)
+            - block_map.s_star[None, :]
+        )
+        W_pad = jnp.concatenate(
+            [
+                Ws.astype(jnp.float32),
+                jnp.zeros((B, pad, p), dtype=jnp.float32),
+            ],
+            axis=1,
+        )
+        W_packed = W_pad.reshape(
+            B, n_outer, steps_per_outer * p
+        ).transpose(1, 0, 2)
+
+        def one_rep(i, carry):
+            checksum, ok = carry
+            W_i = jnp.roll(W_packed, i, axis=0)
+            U, Y, TH, s_fin = kernel(s0, W_i)
+            thetas = TH.transpose(1, 0, 2).reshape(B, -1, n_theta)[
+                :, :n_solves
+            ]
+            with jax.default_matmul_precision("highest"):
+                costs = (
+                    jnp.einsum(
+                        "bti,ij,btj->bt",
+                        thetas,
+                        block_map.cost_P,
+                        thetas,
+                    )
+                    + thetas @ block_map.cost_q
+                    + block_map.cost_r
+                )
+            checksum = (
+                checksum
+                + jnp.sum(costs[:, -1])
+                + jnp.sum(s_fin)
+                + jnp.sum(U)
+                + jnp.sum(Y)
+            )
+            ok = ok & jnp.isfinite(checksum)
+            return (checksum, ok)
+
+        return jax.lax.fori_loop(
+            0, R, one_rep, (jnp.float32(0.0), jnp.bool_(True))
+        )
+
+    return jax.jit(run)

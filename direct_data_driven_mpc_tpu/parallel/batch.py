@@ -64,17 +64,35 @@ def batched_closed_loop(
     n_steps: int,
     n_mpc_step: int = 1,
     admm_iters: int = 100,
+    solver_state0=None,
 ) -> ClosedLoopResult:
     """All scenarios share one solver operator (same Hankel data); the
-    per-scenario state (x0, windows, noise) is batched."""
+    per-scenario state (x0, windows, noise) is batched.
 
-    def one(x0, up, yp, W):
+    ``solver_state0``: optional batched iterative-solver warm start
+    (leading scenario axis), e.g. a previous segment's
+    ``result.solver_state``.
+    """
+
+    if solver_state0 is None:
+
+        def one(x0, up, yp, W):
+            return closed_loop_rollout(
+                plant, solver, x0, up, yp, W,
+                n_steps=n_steps, n_mpc_step=n_mpc_step,
+                admm_iters=admm_iters,
+            )
+
+        return jax.vmap(one)(x0s, u_pasts, y_pasts, Ws)
+
+    def one(x0, up, yp, W, ss):
         return closed_loop_rollout(
             plant, solver, x0, up, yp, W,
-            n_steps=n_steps, n_mpc_step=n_mpc_step, admm_iters=admm_iters,
+            n_steps=n_steps, n_mpc_step=n_mpc_step,
+            admm_iters=admm_iters, solver_state0=ss,
         )
 
-    return jax.vmap(one)(x0s, u_pasts, y_pasts, Ws)
+    return jax.vmap(one)(x0s, u_pasts, y_pasts, Ws, solver_state0)
 
 
 def make_batched_rollout(

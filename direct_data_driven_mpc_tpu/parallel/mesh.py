@@ -26,7 +26,7 @@ from jax import shard_map
 from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
 from direct_data_driven_mpc_tpu.ops.lti import LTIParams
 from direct_data_driven_mpc_tpu.parallel.batch import batched_closed_loop
-from direct_data_driven_mpc_tpu.qp.admm import ADMMSolver
+from direct_data_driven_mpc_tpu.qp.admm import ADMMSolver, ADMMState
 from direct_data_driven_mpc_tpu.qp.solution_map import SolutionMap
 
 
@@ -124,6 +124,13 @@ def make_mesh_rollout(
         x_final=P("data"),
         u_past=P("data"),
         y_past=P("data"),
+        # Iterative solvers return a per-scenario warm-start state; the
+        # exact affine paths return None (an empty subtree).
+        solver_state=(
+            ADMMState(s=P("data"), w=P("data"))
+            if isinstance(solver, ADMMSolver)
+            else None
+        ),
     )
     out_specs = (result_specs, {"mean_final_cost": P(),
                                 "frac_converged": P()})

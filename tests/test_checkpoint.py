@@ -88,6 +88,68 @@ def test_same_key_bit_identical_rollout():
     assert not np.array_equal(r1.y_sys, r3.y_sys)
 
 
+def test_admm_segmented_matches_unsegmented(tmp_path):
+    """CONVEX-slack (ADMM) runs must not cold-start at segment
+    boundaries: the warm-start state is carried through SegmentState
+    (and checkpoints), so segmented == uninterrupted bit-for-bit."""
+    from direct_data_driven_mpc_tpu.parallel.batch import (
+        batched_closed_loop,
+        draw_noise_batch,
+    )
+    from direct_data_driven_mpc_tpu.qp.spec import (
+        SlackVarConstraintTypes,
+    )
+
+    plant, ctrl, _ = _make_setup(
+        slack=SlackVarConstraintTypes.CONVEX, n_mpc_step=1
+    )
+    params = plant.as_params()
+    solver = ctrl.admm_solver(dtype=jnp.float64)
+    B = 2
+    key = jax.random.key(3)
+    s0 = _initial_state(plant, ctrl, B, key)
+
+    # Uninterrupted 30 steps, noise drawn the segmented way (3 folds of
+    # 10) so the two runs see identical noise.
+    W = jnp.concatenate(
+        [
+            draw_noise_batch(
+                jax.random.fold_in(key, i), B, 10, 2, 0.002,
+                dtype=jnp.float64,
+            )
+            for i in range(3)
+        ],
+        axis=1,
+    )
+    full = batched_closed_loop(
+        params, solver, s0.x, s0.u_past, s0.y_past, W,
+        n_steps=30, admm_iters=30,
+    )
+    assert full.solver_state is not None
+
+    # Segmented: 1 segment + checkpoint + resume + 2 segments.
+    ckpt = str(tmp_path / "admm.npz")
+    mid, part1 = run_segmented(
+        params, solver, s0, eps_max=0.002, segment_steps=10,
+        n_segments=1, admm_iters=30, checkpoint_path=ckpt,
+        dtype=jnp.float64,
+    )
+    assert mid.solver_state is not None
+    template = SegmentState(
+        x=s0.x, u_past=s0.u_past, y_past=s0.y_past, segment=0, key=key,
+        solver_state=jax.tree.map(jnp.zeros_like, mid.solver_state),
+    )
+    restored = resume_from_checkpoint(ckpt, template)
+    _, part2 = run_segmented(
+        params, solver, restored, eps_max=0.002, segment_steps=10,
+        n_segments=2, admm_iters=30, dtype=jnp.float64,
+    )
+    resumed_u = np.concatenate([part1.u_sys, part2.u_sys], axis=1)
+    resumed_y = np.concatenate([part1.y_sys, part2.y_sys], axis=1)
+    np.testing.assert_array_equal(resumed_u, np.asarray(full.u_sys))
+    np.testing.assert_array_equal(resumed_y, np.asarray(full.y_sys))
+
+
 def test_checkpoint_shape_validation(tmp_path):
     state = {"a": np.zeros((3, 2)), "b": np.ones(4)}
     path = str(tmp_path / "c.npz")

@@ -208,7 +208,7 @@ def test_fused_engine_float32_close_to_float64():
         np.asarray(results[jnp.float32].u_sys, dtype=np.float64)
         - np.asarray(results[jnp.float64].u_sys)
     ).max()
-    assert du < 1e-2, f"f32 drift too large: {du}"
+    assert du < 1e-4, f"f32 drift exceeds the north-star budget: {du}"
 
 
 def test_divergence_surfaces_in_status_lanes():
