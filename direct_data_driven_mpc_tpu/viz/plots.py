@@ -123,6 +123,20 @@ def _plot_series(
             **setpoint_line_params,
             label=f"${var_symbol}_{index + 1}^s$",
         )
+    # Final limits BEFORE placing/measuring the region label so the
+    # label lands and is measured against the rendered geometry.
+    ax.set_xlim(0, T - 1)
+    if ylimit is not None:
+        ax.set_ylim(*ylimit)
+    else:
+        # Padded limits covering data + setpoint (the reference applies
+        # get_padded_limits on the static path too, ref :292-322).
+        ax.set_ylim(
+            *get_padded_limits(
+                data,
+                None if setpoint is None else np.asarray([setpoint]),
+            )
+        )
     if initial_steps:
         ax.axvspan(0, initial_steps, color="gray", alpha=0.18)
         if display_initial_text:
@@ -140,16 +154,12 @@ def _plot_series(
             # shaded region (reference hides overflowing text at
             # :324-345) -- measured in data coordinates.
             try:
-                ax.set_xlim(0, T - 1)  # final limits before measuring
                 if get_text_width_in_data(text, ax) > initial_steps:
                     text.set_visible(False)
             except (AttributeError, RuntimeError):
                 # Renderer not available (non-Agg backend pre-draw);
                 # keep the label visible.
                 pass
-    ax.set_xlim(0, T - 1)
-    if ylimit is not None:
-        ax.set_ylim(*ylimit)
     ax.set_xlabel("Time step $k$", fontsize=fontsize)
 
 
@@ -295,43 +305,59 @@ def plot_input_output_animation(
 
     lines = []
     spans = []
+    texts = []  # (text, required_width) region labels, per axes
     all_axes = []
+
+    def _setup_axis(ax, series, setpoint, sym, idx, line_params,
+                    region_label):
+        (ln,) = ax.plot([], [], **line_params, label=f"${sym}_{idx + 1}$")
+        ax.plot(
+            [0, T - 1],
+            [setpoint] * 2,
+            **setpoints_line_params,
+            label=f"${sym}_{idx + 1}^s$",
+        )
+        ax.set_xlim(0, T - 1)
+        ax.set_ylim(*get_padded_limits(series, setpoint))
+        ax.set_ylabel(f"${sym}_{idx + 1}$", fontsize=fontsize)
+        ax.set_xlabel("Time step $k$", fontsize=fontsize)
+        ax.legend(fontsize=fontsize - 2, loc="upper right")
+        lines.append(ln)
+        all_axes.append(ax)
+        if initial_steps:
+            spans.append(ax.axvspan(0, 0, color="gray", alpha=0.18))
+            # Region label, revealed once the grown rectangle is wide
+            # enough to hold it (reference animates label visibility
+            # per frame, data_visualization.py:561-604).
+            ylo, yhi = ax.get_ylim()
+            txt = ax.text(
+                0,
+                ylo + 0.92 * (yhi - ylo),
+                region_label,
+                ha="center",
+                va="top",
+                fontsize=fontsize - 2,
+                color="dimgray",
+                visible=False,
+                animated=True,
+            )
+            try:
+                fig.canvas.draw()  # renderer needed for measuring
+                width = get_text_width_in_data(txt, ax)
+            except (AttributeError, RuntimeError):
+                width = 0.0  # no renderer: always show once grown
+            texts.append((txt, width))
+
     for i in range(m):
-        ax = axs_u[i]
-        (ln,) = ax.plot([], [], **inputs_line_params, label=f"$u_{i + 1}$")
-        ax.plot(
-            [0, T - 1],
-            [u_s_flat[i]] * 2,
-            **setpoints_line_params,
-            label=f"$u_{i + 1}^s$",
+        _setup_axis(
+            axs_u[i], u_k[:, i], u_s_flat[i], "u", i,
+            inputs_line_params, "Init. Excitation",
         )
-        ax.set_xlim(0, T - 1)
-        ax.set_ylim(*get_padded_limits(u_k[:, i], u_s_flat[i]))
-        ax.set_ylabel(f"$u_{i + 1}$", fontsize=fontsize)
-        ax.set_xlabel("Time step $k$", fontsize=fontsize)
-        ax.legend(fontsize=fontsize - 2, loc="upper right")
-        lines.append(ln)
-        all_axes.append(ax)
-        if initial_steps:
-            spans.append(ax.axvspan(0, 0, color="gray", alpha=0.18))
     for j in range(p):
-        ax = axs_y[j]
-        (ln,) = ax.plot([], [], **outputs_line_params, label=f"$y_{j + 1}$")
-        ax.plot(
-            [0, T - 1],
-            [y_s_flat[j]] * 2,
-            **setpoints_line_params,
-            label=f"$y_{j + 1}^s$",
+        _setup_axis(
+            axs_y[j], y_k[:, j], y_s_flat[j], "y", j,
+            outputs_line_params, "Init. Measurement",
         )
-        ax.set_xlim(0, T - 1)
-        ax.set_ylim(*get_padded_limits(y_k[:, j], y_s_flat[j]))
-        ax.set_ylabel(f"$y_{j + 1}$", fontsize=fontsize)
-        ax.set_xlabel("Time step $k$", fontsize=fontsize)
-        ax.legend(fontsize=fontsize - 2, loc="upper right")
-        lines.append(ln)
-        all_axes.append(ax)
-        if initial_steps:
-            spans.append(ax.axvspan(0, 0, color="gray", alpha=0.18))
 
     n_frames = math.ceil((T - 1) / points_per_frame) + 1
 
@@ -348,7 +374,13 @@ def plot_input_output_animation(
                 # Grow the shaded rectangle with the reveal (axvspan
                 # returns a Rectangle in axes-fraction y, data x).
                 span.set_width(grown)
-        return lines + spans
+            for txt, width in texts:
+                # Show the label centered in the grown region once the
+                # region can hold it; hide it again if a future variant
+                # shrinks the region (per-frame visibility management).
+                txt.set_x(grown / 2)
+                txt.set_visible(grown > 0 and grown >= width)
+        return lines + spans + [t for t, _ in texts]
 
     return FuncAnimation(
         fig,

@@ -186,6 +186,76 @@ def test_monte_carlo_cli(monkeypatch, capsys, tmp_path):
     assert (tmp_path / "mc.png").stat().st_size > 0
 
 
+def test_animation_region_labels_appear_with_reveal():
+    """Frame-stepping (Agg): the 'Init. Excitation' / 'Init.
+    Measurement' region labels start hidden and appear once the
+    animated shaded region has grown wide enough to hold them
+    (reference data_visualization.py:561-604 behavior)."""
+    from direct_data_driven_mpc_tpu.viz.plots import (
+        plot_input_output_animation,
+    )
+
+    rng = np.random.default_rng(0)
+    T, initial = 200, 150  # wide region: labels must fit eventually
+    u = rng.normal(size=(T, 2))
+    y = rng.normal(size=(T, 2))
+    anim = plot_input_output_animation(
+        u, y, np.array([[1.0], [1.0]]), np.array([[0.65], [0.77]]),
+        initial_steps=initial, points_per_frame=10,
+    )
+    fig = anim._fig
+    fig.canvas.draw()
+
+    texts_of = lambda: [
+        t
+        for ax in fig.get_axes()
+        for t in ax.texts
+        if "Init." in t.get_text()
+    ]
+    assert len(texts_of()) == 4  # one per channel (2 inputs, 2 outputs)
+
+    anim._func(0)  # frame 0: nothing revealed yet
+    assert all(not t.get_visible() for t in texts_of())
+
+    anim._func(initial // 10)  # region fully grown
+    vis = [t.get_visible() for t in texts_of()]
+    assert all(vis), f"labels still hidden after full reveal: {vis}"
+    # Labels are centered in the grown region.
+    assert all(
+        abs(t.get_position()[0] - initial / 2) < 1e-9 for t in texts_of()
+    )
+
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_static_plot_applies_padded_limits():
+    """The static path must apply get_padded_limits (reference
+    :292-322), covering data AND setpoints with proportional pad."""
+    from direct_data_driven_mpc_tpu.viz.plots import (
+        get_padded_limits,
+        plot_input_output,
+    )
+
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(30, 1))
+    y = rng.normal(size=(30, 1)) * 0.1
+    y_s = np.array([[5.0]])  # setpoint far outside the data range
+    fig = plot_input_output(
+        u, y, np.array([[1.0]]), y_s, show=False
+    )
+    ax_y = fig.get_axes()[-1]
+    expected = get_padded_limits(y[:, 0], np.array([5.0]))
+    got = ax_y.get_ylim()
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+    assert got[1] > 5.0  # setpoint inside the limits
+
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
 def test_save_animation_gif_fallback(tmp_path):
     """Animation export works without ffmpeg (Pillow gif fallback)."""
     from direct_data_driven_mpc_tpu.viz.plots import (
