@@ -141,9 +141,11 @@ def heterogeneous_closed_loop(
     realization per run; BASELINE config 4's Monte-Carlo axis spans
     noise seeds, DATA REALIZATIONS (different Hankel data -> different
     solution operators) and PLANT PERTURBATIONS. Here all three vmap:
-    ``plants`` and ``solvers`` carry a leading scenario axis (build
-    operators per realization on the host -- ~40 ms each for the paper
-    size -- then :func:`stack_solution_maps`).
+    ``plants`` and ``solvers`` carry a leading scenario axis. Build the
+    stacked operators with
+    ``qp.batch_build.build_batched_solution_operators`` +
+    ``stacked_solution_map`` (one batched Schur factorization, ~5 ms
+    per realization at paper scale) rather than a serial host loop.
     """
 
     def one(plant_i, solver_i, x0, up, yp, W):
