@@ -321,10 +321,10 @@ def run_config(config: str) -> dict:
         else:
             N, L = 400, 30
         if use_pallas:
-            # Smaller batch: the kernel's B=65536 variant can exceed
-            # this tunnel's remote-compile budget; B=16384 compiled
-            # reliably in ~3 min.
-            B = 16384
+            # Default batch 16384 compiles reliably through this
+            # tunnel (~1-3 min); override with
+            # `bench.py pallas <B>` for the B=65536 variant.
+            B = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
         plant_model = LTIModel(
             A=np.array(
                 [

@@ -111,14 +111,23 @@ def build_theta_operator(block_map: AffineBlockMap, ns: int):
 VMEM_LIMIT_BYTES = 16 * 1024 * 1024
 
 
+def _tiled(rows: int, cols: int) -> int:
+    """Elements of a 2-D f32 VMEM buffer after (8, 128) tile padding."""
+    return ((rows + 7) // 8 * 8) * ((cols + 127) // 128 * 128)
+
+
 def pallas_vmem_bytes(block_map: AffineBlockMap, batch_block: int) -> int:
     """Estimated VMEM residency of one grid step of the rollout kernel:
     the replicated operator matrices (resident once) plus the
-    double-buffered per-block data/output tiles plus the carry scratch.
+    double-buffered per-block data/output tiles plus the carry scratch,
+    all with (8, 128) tile padding (Mosaic pads the sublane/lane dims;
+    a 20-wide state tile occupies 128 lanes).
 
-    A conservative planning number (ignores sublane/lane padding of
-    tiny vectors), used by :func:`pick_batch_block` to keep large
-    ``S``/``K`` configurations inside the 16 MB scoped VMEM limit.
+    Used by :func:`pick_batch_block` to keep large ``S``/``K``
+    configurations inside the 16 MB scoped VMEM limit. Measured
+    ground truth: the four-tank K=100 config compiles at block 256
+    (~8 MB by this estimate) and is rejected by the compiler at block
+    512 (~19 MB actual) -- hence the conservative headroom default.
     """
     S = block_map.M_T.shape[0]
     nw = block_map.N_T.shape[0]
@@ -128,19 +137,20 @@ def pallas_vmem_bytes(block_map: AffineBlockMap, batch_block: int) -> int:
     K = block_map.os_c.shape[0] // S
     Kt = K * n_theta
     itemsize = 4  # kernel computes in float32
+    bb = batch_block
     op_elems = (
-        S * S + S + nw * S  # M_T, c, N_T
-        + S * Ku + Ku + nw * Ku  # Ou
-        + S * Kp + Kp + nw * Kp  # Oy
-        + S * Kt + Kt + nw * Kt  # Otheta
+        _tiled(S, S) + _tiled(1, S) + _tiled(nw, S)  # M_T, c, N_T
+        + _tiled(S, Ku) + _tiled(1, Ku) + _tiled(nw, Ku)  # Ou
+        + _tiled(S, Kp) + _tiled(1, Kp) + _tiled(nw, Kp)  # Oy
+        + _tiled(S, Kt) + _tiled(1, Kt) + _tiled(nw, Kt)  # Otheta
     )
-    blk_elems = batch_block * (
-        S  # s0 block
-        + nw  # W block
-        + Ku + Kp + Kt  # U/Y/TH output blocks
-        + S  # s_fin block
+    blk_elems = (
+        _tiled(bb, S)  # s0 block
+        + _tiled(bb, nw)  # W block
+        + _tiled(bb, Ku) + _tiled(bb, Kp) + _tiled(bb, Kt)  # outputs
+        + _tiled(bb, S)  # s_fin block
     )
-    scratch_elems = batch_block * S
+    scratch_elems = _tiled(bb, S)
     # Data blocks are double-buffered by the pipeline; the operator is
     # fetched once (same block every program).
     return itemsize * (op_elems + 2 * blk_elems + scratch_elems)
@@ -150,7 +160,7 @@ def pick_batch_block(
     block_map: AffineBlockMap,
     B: int,
     limit_bytes: int = VMEM_LIMIT_BYTES,
-    headroom: float = 0.85,
+    headroom: float = 0.6,
 ) -> int:
     """Largest power-of-two batch block (>= 8 sublanes) dividing ``B``
     whose estimated VMEM residency fits under ``headroom * limit``."""
