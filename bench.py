@@ -242,6 +242,7 @@ def run_convex_config() -> dict:
         plant_model.as_params(dtype=np.float32), solver, n_steps=T,
         admm_iters=admm_iters,
     )
+    # First (un-amortized) run: compile + convergence-lane check.
     t0 = time.perf_counter()
     result = run(x0s, ups, yps, Ws)
     jax.block_until_ready(result)
@@ -249,17 +250,51 @@ def run_convex_config() -> dict:
     log(f"compile + first run: {time.perf_counter() - t0:.2f}s")
     frac_conv = float(np.asarray(result.converged).mean())
     log(f"converged lanes: {frac_conv:.4f}")
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        result = run(x0s, ups, yps, Ws)
-        jax.block_until_ready(result)
-        _ = float(result.costs[0, -1])
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
-    solves_per_s = B * T / elapsed
-    log(f"timed runs: {[f'{t:.3f}s' for t in times]}; "
-        f"{B * T} ADMM solves -> {solves_per_s:,.0f} solves/s/chip")
+
+    # Amortized timing (same contract as make_amortized_linear_run):
+    # R reps in one call, rep i runs a time-rolled noise realization.
+    from direct_data_driven_mpc_tpu.parallel.batch import (
+        batched_closed_loop,
+    )
+
+    plant_params = plant_model.as_params(dtype=np.float32)
+
+    @jax.jit
+    def amortized(x0s, ups, yps, Ws, R):
+        def one_rep(i, carry):
+            checksum, conv = carry
+            res = batched_closed_loop(
+                plant_params, solver, x0s, ups, yps,
+                jnp.roll(Ws, i, axis=1),
+                n_steps=T, admm_iters=admm_iters,
+            )
+            checksum = (
+                checksum
+                + jnp.sum(res.costs[:, -1])
+                + jnp.sum(res.u_sys)
+                + jnp.sum(res.y_sys)
+            )
+            conv = conv & jnp.all(res.converged) & jnp.isfinite(checksum)
+            return (checksum, conv)
+
+        return jax.lax.fori_loop(
+            0, R, one_rep, (jnp.float32(0.0), jnp.bool_(True))
+        )
+
+    checksum, ok = amortized(x0s, ups, yps, Ws, 1)
+    _ = float(checksum)
+    assert bool(ok)
+    R_big = 8
+    tm = time_amortized(
+        amortized, (x0s, ups, yps, Ws), R_small=1, R_big=R_big
+    )
+    solves_per_s = B * T * R_big / tm["t_big"]
+    log(f"amortized: R=1 {tm['t_small']:.3f}s, R={R_big} "
+        f"{tm['t_big']:.3f}s -> per-rollout {tm['per_rep']:.3f}s, "
+        f"relay constant {tm['per_call_overhead'] * 1e3:.0f} ms "
+        f"({tm['overhead_frac_of_big'] * 100:.1f}% of wall)")
+    log(f"{B * T * R_big} ADMM solves -> {solves_per_s:,.0f} "
+        f"solves/s/chip")
     theta = np.concatenate(
         [ctrl.u_past.reshape(-1), ctrl.y_past.reshape(-1)]
     )
@@ -284,8 +319,8 @@ def run_config(config: str) -> dict:
     if config == "four_tank_convex":
         return run_convex_config()
 
-    use_pallas = config == "pallas"
-    if use_pallas:
+    use_pallas = config in ("pallas", "pallas_large")
+    if config == "pallas":
         config = "four_tank_robust_pallas"
     from direct_data_driven_mpc_tpu.models.lti_model import LTIModel
     from direct_data_driven_mpc_tpu.models.random_lti import (
@@ -296,16 +331,26 @@ def run_config(config: str) -> dict:
     dtype = jnp.float32
     rng = np.random.default_rng(0)
 
-    if config == "large_plant":
+    if config in ("large_plant", "pallas_large"):
         B, T, K = 65536, 400, 50
         n = ns = m = p = 10
         N, L = 600, 30
+        if config == "pallas_large":
+            # Kernel variant of the large-plant shape: the theta-stack
+            # lane width scales with K*S, so K must shrink to fit the
+            # operator + blocks in the 16 MB VMEM budget (the VMEM
+            # model in ops/pallas_rollout.py); the XLA comparison runs
+            # at the SAME K for a fair head-to-head. Trajectories are
+            # emitted by both (the kernel always emits; ~2 GB/rep
+            # transient at this shape).
+            B, K = 16384, 10
         plant_model = random_stable_lti(seed=0, ns=ns, m=m, p=p)
         u_s = 0.5 * np.ones((m, 1))
         y_s = plant_model.get_equilibrium_output_from_input(
             u_s.flatten()
         ).reshape(-1, 1)
-        emit_traj = False  # 65536x400x10 trajectories would be ~100 GB
+        # 65536x400x10 trajectories would be ~100 GB
+        emit_traj = config == "pallas_large"
     else:
         # Headline: saturating Monte-Carlo batch of the paper's robust
         # four-tank controller. The canonical config-4 shape (B=4096)

@@ -282,6 +282,7 @@ def linear_closed_loop_rollout(
     noise_key: Optional[jax.Array] = None,
     eps_max: float = 0.0,
     emit_trajectories: bool = True,
+    precision: str = "highest",
 ) -> ClosedLoopResult:
     """Rollout via the condensed affine recursion (single scenario; wrap
     in ``vmap`` for batches). Interface-compatible with
@@ -352,9 +353,12 @@ def linear_closed_loop_rollout(
                 maxval=1.0,
                 dtype=dtype,
             )
-        # Full-f32 matmul precision: TPU default would run these as
-        # bf16 passes, which visibly drifts 400-step recursions.
-        with jax.default_matmul_precision("highest"):
+        # Full-f32 matmul precision by default: the TPU's plain-bf16
+        # pass visibly drifts 400-step recursions. "highest" (bf16_6x)
+        # is the parity-safe default; "high" (bf16_3x) is an opt-in
+        # speed knob -- only use it with a measured deviation budget
+        # (see docs/PERF.md "Precision ladder").
+        with jax.default_matmul_precision(precision):
             st = (
                 s @ block_map.OsS_T + block_map.os_c + w @ block_map.OsW_T
             )
@@ -527,6 +531,7 @@ def make_linear_batched_rollout(
     use_rng_noise: bool = False,
     eps_max: float = 0.0,
     emit_trajectories: bool = True,
+    precision: str = "highest",
 ):
     """Jitted batched rollout.
 
@@ -548,11 +553,13 @@ def make_linear_batched_rollout(
                     n_steps=n_steps, n_mpc_step=n_mpc_step,
                     noise_key=nz, eps_max=eps_max,
                     emit_trajectories=emit_trajectories,
+                    precision=precision,
                 )
             return linear_closed_loop_rollout(
                 block_map, x0, up, yp, W=nz,
                 n_steps=n_steps, n_mpc_step=n_mpc_step,
                 emit_trajectories=emit_trajectories,
+                precision=precision,
             )
 
         return jax.vmap(one)(x0s, u_pasts, y_pasts, noise)
