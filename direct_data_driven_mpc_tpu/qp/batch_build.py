@@ -31,6 +31,12 @@ Equality with the generic serial path is asserted to float64 roundoff
 in tests/test_batch_build.py; non-diagonal weights or NOMINAL
 controllers (singular Hessian) fall back to the serial loop
 (:func:`build_solution_operators_fallback`).
+
+Negative result (measured, do not retry): computing the Gram G G^T via
+sliding-window cross-correlations of the underlying series (exploiting
+the Hankel structure; ~30x fewer FLOPs) is 3x SLOWER than the dense
+batched matmul on this host -- the elementwise products + cumsum are
+bandwidth-bound numpy loops while the dense gemm runs in BLAS.
 """
 
 from __future__ import annotations
