@@ -76,6 +76,35 @@ def get_lib():
     return _ext
 
 
+_DEMO_BIN = os.path.join(_DIR, "ddmpc_demo")
+
+
+def build_runtime_demo() -> str | None:
+    """Compile the standalone C deployment runtime + demo CLI
+    (``ddmpc_runtime.c`` + ``ddmpc_demo.c``) and return the executable
+    path, or None if no compiler is available. Rebuilds when sources
+    are newer than the binary."""
+    srcs = [
+        os.path.join(_DIR, "ddmpc_demo.c"),
+        os.path.join(_DIR, "ddmpc_runtime.c"),
+    ]
+    if os.path.exists(_DEMO_BIN) and all(
+        os.path.getmtime(_DEMO_BIN) >= os.path.getmtime(s) for s in srcs
+    ):
+        return _DEMO_BIN
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O2", "-std=c99", "-Wall", *srcs, "-o", _DEMO_BIN, "-lm"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _DEMO_BIN
+    except (OSError, subprocess.SubprocessError) as e:  # pragma: no cover
+        print(
+            f"[ddmpc-native] runtime demo build failed ({e})",
+            file=sys.stderr,
+        )
+        return None
+
+
 class NativeAffineSolver:
     """C-backed per-step affine solve + cost for one controller.
 
@@ -121,6 +150,7 @@ class NativeADMMSolver:
         self.cost_r = float(op["cost_r"])
         self.bound = float(op["bound"])
         self.rho = float(op["rho"])
+        self.alpha = float(op.get("alpha", 1.0))
         self.nbox = self.v_c.shape[0]
         self._scratch = np.empty(self.nbox, dtype=np.float64)
 
@@ -139,6 +169,7 @@ class NativeADMMSolver:
         iters, r_prim, r_dual = self._ext.admm_iterate(
             self.v_c, v_theta, self.V_s, s, w, self._scratch,
             self.bound, self.rho, int(max_iters), float(tol),
+            self.alpha,
         )
         t = s - w
         u = self.u_c + self.U_theta @ theta + self.U_s @ t

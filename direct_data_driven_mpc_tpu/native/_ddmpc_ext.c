@@ -88,12 +88,15 @@ fail2: PyBuffer_Release(&ug); PyBuffer_Release(&ub);
 }
 
 /* admm_iterate(v_c, v_theta, V_s, s, w, scratch, bound, rho,
- *              max_iters, tol) -> (iters, r_prim, r_dual)
- * s, w, scratch are writable (nbox,) buffers; warm-started in place. */
+ *              max_iters, tol, alpha) -> (iters, r_prim, r_dual)
+ * s, w, scratch are writable (nbox,) buffers; warm-started in place.
+ * alpha is the over-relaxation parameter (1.0 = plain ADMM); the
+ * primal residual is reported on the un-relaxed iterate, matching
+ * qp/admm.py exactly. */
 static PyObject *admm_iterate(PyObject *self, PyObject *const *args,
                               Py_ssize_t nargs) {
-    if (nargs != 10) {
-        PyErr_SetString(PyExc_TypeError, "expected 10 arguments");
+    if (nargs != 11) {
+        PyErr_SetString(PyExc_TypeError, "expected 11 arguments");
         return NULL;
     }
     Py_buffer vc, vt, vs, sb, wb, sc;
@@ -101,6 +104,7 @@ static PyObject *admm_iterate(PyObject *self, PyObject *const *args,
     double rho = PyFloat_AsDouble(args[7]);
     long max_iters = PyLong_AsLong(args[8]);
     double tol = PyFloat_AsDouble(args[9]);
+    double alpha = PyFloat_AsDouble(args[10]);
     if (PyErr_Occurred()) return NULL;
     if (get_buf(args[0], &vc, 0)) return NULL;
     if (get_buf(args[1], &vt, 0)) { PyBuffer_Release(&vc); return NULL; }
@@ -128,14 +132,15 @@ static PyObject *admm_iterate(PyObject *self, PyObject *const *args,
                 double v = v_c[i] + v_theta[i];
                 for (Py_ssize_t j = 0; j < nbox; ++j)
                     v += row[j] * scr[j];
-                double sn = v + w[i];
+                double v_hat = alpha * v + (1.0 - alpha) * s[i];
+                double sn = v_hat + w[i];
                 if (sn > bound) sn = bound;
                 else if (sn < -bound) sn = -bound;
                 double dprim = v - sn;
                 double ddual = rho * (sn - s[i]);
                 if (fabs(dprim) > rp) rp = fabs(dprim);
                 if (fabs(ddual) > rd) rd = fabs(ddual);
-                w[i] += dprim;
+                w[i] += v_hat - sn;
                 s[i] = sn;
             }
             if (rp <= tol && rd <= tol) { ++it; break; }

@@ -11,8 +11,17 @@ it with ADMM on the splitting ``s = E z`` (E selects sigma_pred rows),
 ``s in Box``:
 
     z-step: min_z z^T(H/2)z + g^T z + (rho/2)||Ez - s + w||^2  s.t. Az=b
-    s-step: s = clip(Ez + w, -bound, +bound)
-    w-step: w += Ez - s
+    relax:  v_hat = alpha * Ez + (1 - alpha) * s
+    s-step: s = clip(v_hat + w, -bound, +bound)
+    w-step: w += v_hat - s
+
+``alpha`` is the standard over-relaxation parameter (convergent for any
+alpha in (0, 2); fixed points are unchanged). Measured on this problem
+family, alpha = 1.6 roughly HALVES iterations-to-1e-8 vs plain ADMM
+(four-tank: cold 29 -> 14, warm-start max along a trajectory 29 -> 14)
+and was never worse than alpha = 1 on random instances, so it is the
+default. The primal residual is reported on the un-relaxed iterate
+(``||Ez - s||_inf``), so convergence flags keep their exact meaning.
 
 The z-step's KKT matrix ``[[H + rho E^T E, A^T], [A, 0]]`` is CONSTANT
 (rho fixed), so it is pseudo-inverted once at init and each iteration
@@ -56,6 +65,7 @@ class ADMMSolver(NamedTuple):
     cost_r: jax.Array  # ()
     bound: jax.Array  # () box half-width: c * eps_max
     rho: jax.Array  # () penalty parameter
+    alpha: jax.Array  # () over-relaxation parameter, in (0, 2)
 
 
 class ADMMState(NamedTuple):
@@ -70,13 +80,17 @@ class ADMMStats(NamedTuple):
 
 
 def compute_admm_operator_np(
-    spec: QPSpec, rho: float | None = None
+    spec: QPSpec, rho: float | None = None, alpha: float = 1.6
 ) -> dict:
     """Host float64 pre-factorization of the ADMM z-step (single source
     of truth for both the numpy and the device paths)."""
     if spec.sigma_bound is None:
         raise ValueError(
             "ADMM solver requires a CONVEX slack constraint (sigma_bound)."
+        )
+    if not 0.0 < alpha < 2.0:
+        raise ValueError(
+            f"over-relaxation alpha must be in (0, 2), got {alpha}"
         )
     H, g, A = spec.H, spec.g, spec.A
     nz, nc = spec.nz, spec.nc
@@ -132,11 +146,15 @@ def compute_admm_operator_np(
         "cost_r": np.float64(cost_r),
         "bound": np.float64(spec.sigma_bound),
         "rho": np.float64(rho),
+        "alpha": np.float64(alpha),
     }
 
 
 def compute_admm_solver(
-    spec: QPSpec, rho: float | None = None, dtype=jnp.float32
+    spec: QPSpec,
+    rho: float | None = None,
+    alpha: float = 1.6,
+    dtype=jnp.float32,
 ) -> ADMMSolver:
     """Pre-factorize the ADMM z-step for one problem spec and move the
     operator on-device in ``dtype``."""
@@ -145,7 +163,7 @@ def compute_admm_solver(
     )
 
     _check_dtype_supported(dtype)
-    op = compute_admm_operator_np(spec, rho=rho)
+    op = compute_admm_operator_np(spec, rho=rho, alpha=alpha)
     return ADMMSolver(
         **{k: jnp.asarray(v, dtype=dtype) for k, v in op.items()}
     )
@@ -168,11 +186,13 @@ def admm_solve_np(
     v_theta = op["V_theta"] @ theta
     bound = float(op["bound"])
     rho = float(op["rho"])
+    alpha = float(op.get("alpha", 1.0))
     r_prim = r_dual = np.inf
     for _ in range(num_iters):
         v = op["v_c"] + v_theta + op["V_s"] @ (s - w)
-        s_new = np.clip(v + w, -bound, bound)
-        w = w + v - s_new
+        v_hat = alpha * v + (1.0 - alpha) * s
+        s_new = np.clip(v_hat + w, -bound, bound)
+        w = w + v_hat - s_new
         r_prim = float(np.abs(v - s_new).max(initial=0.0))
         r_dual = rho * float(np.abs(s_new - s).max(initial=0.0))
         s = s_new
@@ -213,8 +233,9 @@ def admm_solve(
         s, w, _, _ = carry
         with jax.default_matmul_precision("highest"):
             v = solver.v_c + v_theta + solver.V_s @ (s - w)
-        s_new = jnp.clip(v + w, -solver.bound, solver.bound)
-        w_new = w + v - s_new
+        v_hat = solver.alpha * v + (1.0 - solver.alpha) * s
+        s_new = jnp.clip(v_hat + w, -solver.bound, solver.bound)
+        w_new = w + v_hat - s_new
         r_prim = jnp.max(jnp.abs(v - s_new))
         r_dual = solver.rho * jnp.max(jnp.abs(s_new - s))
         return (s_new, w_new, r_prim, r_dual)

@@ -233,6 +233,80 @@ def test_admm_active_box_satisfies_kkt():
     assert np.all(mu[active] * np.sign(sigma_pred[active]) >= -1e-8)
 
 
+def test_admm_over_relaxation_same_fixed_point_fewer_iters():
+    """alpha=1.6 (the default) must converge to the SAME solution as
+    plain ADMM (alpha in (0,2) leaves fixed points unchanged) in
+    strictly fewer iterations on this problem; every path (numpy,
+    device, native C if built) agrees."""
+    from direct_data_driven_mpc_tpu.qp.admm import (
+        admm_solve_np,
+        compute_admm_operator_np,
+    )
+
+    spec, theta = _small_problem(
+        slack=SlackVarConstraintTypes.CONVEX, c=1e-4
+    )
+
+    def iters_to_tol(alpha):
+        op = compute_admm_operator_np(spec, alpha=alpha)
+        nbox = op["v_c"].shape[0]
+        s = np.zeros(nbox)
+        w = np.zeros(nbox)
+        for it in range(1, 5001):
+            u, cost, (s, w), (rp, rd, conv) = admm_solve_np(
+                op, theta, num_iters=1, state=(s, w)
+            )
+            if rp <= 1e-8 and rd <= 1e-8:
+                return it, u, cost
+        return 5000, u, cost
+
+    it_plain, u_plain, cost_plain = iters_to_tol(1.0)
+    it_relax, u_relax, cost_relax = iters_to_tol(1.6)
+    assert it_relax < it_plain, (it_relax, it_plain)
+    np.testing.assert_allclose(u_relax, u_plain, atol=1e-6)
+    assert cost_relax == pytest.approx(cost_plain, abs=1e-7)
+
+    # Device path (default alpha=1.6) reaches the same fixed point.
+    solver = compute_admm_solver(spec, dtype=jnp.float64)
+    assert float(solver.alpha) == pytest.approx(1.6)
+    u_dev, cost_dev, _, stats = admm_solve(
+        solver, jnp.asarray(theta), num_iters=it_relax + 5
+    )
+    assert bool(stats.converged)
+    np.testing.assert_allclose(np.asarray(u_dev), u_plain, atol=1e-6)
+
+    # Native C path (if the extension built) matches the numpy path to
+    # float64 rounding on the same iteration (the C kernel fuses the
+    # row updates, so summation order differs at the ulp level).
+    from direct_data_driven_mpc_tpu import native
+
+    if native.get_lib() is not None:
+        op = compute_admm_operator_np(spec)
+        nat = native.NativeADMMSolver(op)
+        nbox = op["v_c"].shape[0]
+        s_c, w_c = np.zeros(nbox), np.zeros(nbox)
+        u_c, cost_c, iters_c, rp_c, rd_c = nat.solve(
+            theta, s_c, w_c, 2000, 1e-8
+        )
+        u_np, cost_np, (s_np, w_np), _ = admm_solve_np(
+            op, theta, num_iters=int(iters_c)
+        )
+        np.testing.assert_allclose(s_c, s_np, rtol=0, atol=1e-15)
+        np.testing.assert_allclose(w_c, w_np, rtol=0, atol=1e-15)
+        np.testing.assert_allclose(u_c, u_np, rtol=0, atol=1e-14)
+
+
+def test_admm_alpha_out_of_range_rejected():
+    from direct_data_driven_mpc_tpu.qp.admm import (
+        compute_admm_operator_np,
+    )
+
+    spec, _ = _small_problem(slack=SlackVarConstraintTypes.CONVEX)
+    for bad in (0.0, 2.0, -1.0, 2.5):
+        with pytest.raises(ValueError, match="alpha"):
+            compute_admm_operator_np(spec, alpha=bad)
+
+
 def test_non_convex_slack_raises():
     with pytest.raises(NotImplementedError):
         _small_problem(slack=SlackVarConstraintTypes.NON_CONVEX)
