@@ -38,7 +38,9 @@ from direct_data_driven_mpc_tpu.qp.assembly import build_qp_spec
 from direct_data_driven_mpc_tpu.qp.solution_map import (
     compute_solution_map,
     compute_solution_operator_np,
+    compute_tracking_map,
     SolutionMap,
+    TrackingMap,
 )
 from direct_data_driven_mpc_tpu.qp.spec import (
     DataDrivenMPCType,
@@ -300,6 +302,25 @@ class DirectDataDrivenMPCController:
                 "operator; use admm_solver() with the generic engine."
             )
         return self._op
+
+    def tracking_map(self, dtype=None) -> TrackingMap:
+        """Setpoint-parametric device operator ``u*(theta, [u_s; y_s])``
+        (slack-NONE paths): time-varying reference tracking in the
+        fused engine with zero re-initialization -- pass a per-solve
+        ``setpoints`` schedule to ``control.loop.closed_loop_rollout``.
+        (The reference retargets only by re-running its whole init
+        pipeline, ref :945-982.)"""
+        import jax.numpy as jnp
+
+        if self._use_admm:
+            raise ValueError(
+                "CONVEX slack controllers do not condense to an affine "
+                "operator; tracking schedules need a slack-NONE "
+                "controller."
+            )
+        return compute_tracking_map(
+            self._spec, dtype=dtype or jnp.float32
+        )
 
     def admm_solver(self, dtype=None) -> ADMMSolver:
         """Device-resident ADMM operator (CONVEX slack paths)."""

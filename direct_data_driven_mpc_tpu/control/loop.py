@@ -39,8 +39,11 @@ from direct_data_driven_mpc_tpu.qp.admm import (
 )
 from direct_data_driven_mpc_tpu.qp.solution_map import (
     SolutionMap,
+    TrackingMap,
     optimal_cost,
     solve_u,
+    solve_u_tracking,
+    tracking_cost,
 )
 
 
@@ -115,7 +118,7 @@ def make_solve_fn(
 
 def closed_loop_rollout(
     plant: LTIParams,
-    solver: Union[SolutionMap, ADMMSolver],
+    solver: Union[SolutionMap, ADMMSolver, TrackingMap],
     x0: jax.Array,
     u_past: jax.Array,
     y_past: jax.Array,
@@ -124,12 +127,16 @@ def closed_loop_rollout(
     n_mpc_step: int = 1,
     admm_iters: int = 100,
     solver_state0: Optional[ADMMState] = None,
+    setpoints: Optional[jax.Array] = None,
 ) -> ClosedLoopResult:
     """Run the closed loop for ``n_steps`` with noise sequence ``W``.
 
     Args:
         plant: LTI plant matrices (the simulated "real" system).
-        solver: per-step QP solver operator.
+        solver: per-step QP solver operator. A
+           :class:`~direct_data_driven_mpc_tpu.qp.solution_map.TrackingMap`
+           additionally takes a per-solve setpoint schedule (below),
+           enabling time-varying reference tracking with zero re-init.
         x0: ``(ns,)`` initial plant state.
         u_past: ``(n, m)`` past-input window seeding theta.
         y_past: ``(n, p)`` past-output window.
@@ -142,6 +149,10 @@ def closed_loop_rollout(
            a previous segment's ``result.solver_state`` to make
            segmented ADMM runs trajectory-identical to uninterrupted
            ones (defaults to the solver's cold start).
+        setpoints: TrackingMap only -- ``r = [u_s; y_s]`` per solve:
+           either a constant ``(m+p,)`` vector or a ``(n_blocks, m+p)``
+           schedule where row ``i`` applies to solve block ``i``
+           (``n_blocks = ceil(n_steps / n_mpc_step)``).
 
     Returns:
         :class:`ClosedLoopResult`.
@@ -155,13 +166,44 @@ def closed_loop_rollout(
         *(jnp.asarray(a, dtype=dtype) for a in plant)
     )
 
-    solve_fn, default_state0 = make_solve_fn(
-        solver, m, admm_iters=admm_iters
-    )
-    if solver_state0 is None:
-        solver_state0 = default_state0
-
     n_blocks = math.ceil(n_steps / n_mpc_step)
+
+    tracking = isinstance(solver, TrackingMap)
+    if tracking:
+        if setpoints is None:
+            raise ValueError(
+                "a TrackingMap solver requires a `setpoints` schedule "
+                "(constant (m+p,) or per-solve (n_blocks, m+p))"
+            )
+        R = jnp.asarray(setpoints, dtype=dtype)
+        if R.ndim == 1:
+            R = jnp.tile(R[None], (n_blocks, 1))
+        if R.shape != (n_blocks, m + p):
+            raise ValueError(
+                f"setpoints must have shape ({m + p},) or "
+                f"({n_blocks}, {m + p}); got {R.shape}"
+            )
+
+        def solve_fn_tracking(theta, r):
+            u_seq = solve_u_tracking(solver, theta, r).reshape(-1, m)
+            cost = tracking_cost(solver, theta, r)
+            ok = jnp.all(jnp.isfinite(u_seq)) & jnp.isfinite(cost)
+            return u_seq, cost, ok
+
+        solver_state0 = None
+    else:
+        if setpoints is not None:
+            raise ValueError(
+                "`setpoints` schedules require a TrackingMap solver "
+                "(controller.tracking_map())"
+            )
+        R = jnp.zeros((n_blocks, 0), dtype=dtype)  # inert scan input
+        solve_fn, default_state0 = make_solve_fn(
+            solver, m, admm_iters=admm_iters
+        )
+        if solver_state0 is None:
+            solver_state0 = default_state0
+
     pad = n_blocks * n_mpc_step - n_steps
     W_pad = jnp.concatenate(
         [jnp.asarray(W, dtype=dtype),
@@ -169,10 +211,14 @@ def closed_loop_rollout(
         axis=0,
     ).reshape(n_blocks, n_mpc_step, p)
 
-    def block_step(carry, w_block):
+    def block_step(carry, xs):
+        w_block, r_block = xs
         x, up, yp, sstate = carry
         theta = jnp.concatenate([up.reshape(-1), yp.reshape(-1)])
-        u_seq, cost, sstate, ok = solve_fn(theta, sstate)
+        if tracking:
+            u_seq, cost, ok = solve_fn_tracking(theta, r_block)
+        else:
+            u_seq, cost, sstate, ok = solve_fn(theta, sstate)
 
         def inner(carry2, kw):
             x, up, yp = carry2
@@ -196,7 +242,7 @@ def closed_loop_rollout(
         solver_state0,
     )
     (x, up, yp, sstate_fin), (u_blocks, y_blocks, costs, oks) = (
-        jax.lax.scan(block_step, carry0, W_pad)
+        jax.lax.scan(block_step, carry0, (W_pad, R))
     )
 
     u_sys = u_blocks.reshape(n_blocks * n_mpc_step, m)[:n_steps]
@@ -215,10 +261,11 @@ def closed_loop_rollout(
 
 def build_closed_loop(
     plant: LTIParams,
-    solver: Union[SolutionMap, ADMMSolver],
+    solver: Union[SolutionMap, ADMMSolver, TrackingMap],
     n_steps: int,
     n_mpc_step: int = 1,
     admm_iters: int = 100,
+    setpoints: Optional[jax.Array] = None,
 ) -> Callable[[jax.Array, jax.Array, jax.Array, jax.Array],
               ClosedLoopResult]:
     """Return a jitted rollout ``(x0, u_past, y_past, W) -> result``.
@@ -226,13 +273,16 @@ def build_closed_loop(
     The returned function is the single-scenario building block; wrap
     it in ``jax.vmap`` for Monte-Carlo scenario batches and in
     ``shard_map`` over a mesh for multi-chip scaling (see
-    ``parallel/``).
+    ``parallel/``). ``setpoints`` (TrackingMap solvers) is closed over
+    as a static schedule; for per-scenario schedules call
+    ``closed_loop_rollout`` under ``vmap`` directly.
     """
 
     def run(x0, u_past, y_past, W):
         return closed_loop_rollout(
             plant, solver, x0, u_past, y_past, W,
             n_steps=n_steps, n_mpc_step=n_mpc_step, admm_iters=admm_iters,
+            setpoints=setpoints,
         )
 
     return jax.jit(run)

@@ -8,7 +8,9 @@ from direct_data_driven_mpc_tpu.qp.spec import (
 from direct_data_driven_mpc_tpu.qp.assembly import build_qp_spec
 from direct_data_driven_mpc_tpu.qp.solution_map import (
     SolutionMap,
+    TrackingMap,
     compute_solution_map,
+    compute_tracking_map,
 )
 from direct_data_driven_mpc_tpu.qp.admm import (
     ADMMSolver,
@@ -24,7 +26,9 @@ __all__ = [
     "QPSpec",
     "build_qp_spec",
     "SolutionMap",
+    "TrackingMap",
     "compute_solution_map",
+    "compute_tracking_map",
     "ADMMSolver",
     "compute_admm_solver",
     "make_distributed_kkt_solver",

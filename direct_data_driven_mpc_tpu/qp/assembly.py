@@ -217,4 +217,6 @@ def build_qp_spec(
         ybar_slice=ybar_slice,
         sigma_slice=sigma_slice,
         sigma_bound=sigma_bound,
+        u_s=u_s,
+        y_s=y_s,
     )

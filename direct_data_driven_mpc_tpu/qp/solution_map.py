@@ -132,6 +132,151 @@ def compute_solution_operator_np(spec: QPSpec) -> dict:
 
 
 
+class TrackingMap(NamedTuple):
+    """Setpoint-parametric affine solution operator (a JAX pytree).
+
+    The QP's g-vector and terminal-constraint rows are LINEAR in the
+    setpoints ``r = [u_s (m); y_s (p)]`` (assembly.py:149-185), so the
+    optimum is jointly affine in ``(theta, r)`` -- with NO constant
+    term, because at ``r = 0`` both g and b_const vanish:
+
+        u*(theta, r)  = U_theta @ theta + U_r @ r
+        cost(theta,r) = xi^T cost_P xi,   xi = [theta; r].
+
+    This makes time-varying reference tracking free in the fused
+    engine: the reference can only retarget by re-running its entire
+    init pipeline per setpoint change
+    (direct_data_driven_mpc_controller.py:945-982 re-solves from
+    scratch); here a setpoint schedule is just another scan input.
+    """
+
+    U_theta: jax.Array  # (L*m, n_theta)
+    U_r: jax.Array  # (L*m, m+p)
+    cost_P: jax.Array  # (n_theta+m+p, n_theta+m+p)
+
+
+def compute_tracking_operator_np(spec: QPSpec) -> dict:
+    """Host float64 derivation of the setpoint-parametric operator.
+
+    Derives the setpoint channels (Gamma into g, S_r into b, R0 into
+    r0) from the spec's structure and VERIFIES each against the baked
+    ``spec.g`` / ``spec.b_const`` / ``spec.r0`` at the spec's own
+    setpoints -- a wrong derivation cannot ship silently.
+    """
+    d = spec.dims
+    n, m, p, L = d.n, d.m, d.p, d.L
+    nz, nc, nt = spec.nz, spec.nc, d.n_theta
+    if spec.u_s is None or spec.y_s is None:
+        raise ValueError(
+            "spec does not carry its baked setpoints (built by an old "
+            "assembly?); the tracking operator cannot self-verify."
+        )
+    r_bar = np.concatenate([spec.u_s, spec.y_s])
+
+    up, yp = spec.u_pred_slice, spec.y_pred_slice
+    T_u = np.tile(np.eye(m), (L, 1))  # u_sL = T_u @ u_s
+    T_y = np.tile(np.eye(p), (L, 1))
+
+    # g(r) = Gamma @ r  (assembly: g[up] = -H[up,up] @ T_u u_s, ...)
+    Gamma = np.zeros((nz, m + p))
+    Gamma[up, :m] = -spec.H[up, up.start : up.stop] @ T_u
+    Gamma[yp, m:] = -spec.H[yp, yp.start : yp.stop] @ T_y
+    if not np.allclose(Gamma @ r_bar, spec.g, atol=1e-12):
+        raise AssertionError(
+            "setpoint-linearity derivation of g does not reproduce the "
+            "assembled spec.g"
+        )
+
+    # b(theta, r) = S theta + S_r r (terminal rows tile the setpoints).
+    S_r = np.zeros((nc, m + p))
+    if spec.use_terminal_constraint:
+        t0 = nc - n * (m + p)
+        S_r[t0 : t0 + n * m, :m] = np.tile(np.eye(m), (n, 1))
+        S_r[t0 + n * m :, m:] = np.tile(np.eye(p), (n, 1))
+    if not np.allclose(S_r @ r_bar, spec.b_const, atol=1e-12):
+        raise AssertionError(
+            "setpoint-linearity derivation of b_const does not "
+            "reproduce the assembled spec.b_const"
+        )
+
+    # r0(r) = r^T R0 r.
+    R0 = np.zeros((m + p, m + p))
+    R0[:m, :m] = 0.5 * T_u.T @ spec.H[up, up.start : up.stop] @ T_u
+    R0[m:, m:] = 0.5 * T_y.T @ spec.H[yp, yp.start : yp.stop] @ T_y
+    if not np.isclose(r_bar @ R0 @ r_bar, spec.r0, atol=1e-10):
+        raise AssertionError(
+            "setpoint-quadratic derivation of r0 does not reproduce "
+            "the assembled spec.r0"
+        )
+
+    # One KKT multi-solve over the joint parameter xi = [theta; r].
+    K = np.zeros((nz + nc, nz + nc))
+    K[:nz, :nz] = spec.H
+    K[:nz, nz:] = spec.A.T
+    K[nz:, :nz] = spec.A
+    RHS = np.zeros((nz + nc, nt + m + p))
+    RHS[:nz, nt:] = -Gamma
+    RHS[nz:, :nt] = spec.S
+    RHS[nz:, nt:] = S_r
+    Z = kkt_multi_solve(K, RHS)[:nz]
+
+    res_gain = float(
+        np.abs(spec.A @ Z - np.concatenate([spec.S, S_r], axis=1)).max(
+            initial=0.0
+        )
+    )
+    feasible = res_gain < 1e-7
+
+    # cost(xi) = 0.5 xi' Z'HZ xi + r' Gamma' Z xi + r' R0 r.
+    cost_P = 0.5 * Z.T @ (spec.H @ Z)
+    C = Gamma.T @ Z  # (m+p, nt+m+p)
+    cost_P[nt:, :] += 0.5 * C
+    cost_P[:, nt:] += 0.5 * C.T
+    cost_P[nt:, nt:] += R0
+    cost_P = 0.5 * (cost_P + cost_P.T)
+
+    u_sl = spec.u_pred_slice
+    return {
+        "U_theta": Z[u_sl, :nt],
+        "U_r": Z[u_sl, nt:],
+        "cost_P": cost_P,
+        "Z": Z,
+        "feasible": feasible,
+        "primal_residual_gain": res_gain,
+    }
+
+
+def compute_tracking_map(spec: QPSpec, dtype=jnp.float32) -> TrackingMap:
+    """Derive the setpoint-parametric operator (host float64) and move
+    it on-device in ``dtype``."""
+    _check_dtype_supported(dtype)
+    op = compute_tracking_operator_np(spec)
+    return TrackingMap(
+        **{
+            k: jnp.asarray(op[k], dtype=dtype)
+            for k in TrackingMap._fields
+        }
+    )
+
+
+def solve_u_tracking(
+    tm: TrackingMap, theta: jax.Array, r: jax.Array
+) -> jax.Array:
+    """Optimal input sequence ``ubar*[0, L-1]`` at past window ``theta``
+    and setpoint vector ``r = [u_s; y_s]`` (flattened, ``(L*m,)``)."""
+    with jax.default_matmul_precision("highest"):
+        return tm.U_theta @ theta + tm.U_r @ r
+
+
+def tracking_cost(
+    tm: TrackingMap, theta: jax.Array, r: jax.Array
+) -> jax.Array:
+    """Optimal objective value at ``(theta, r)`` (scalar)."""
+    xi = jnp.concatenate([theta, r])
+    with jax.default_matmul_precision("highest"):
+        return xi @ (tm.cost_P @ xi)
+
+
 def _check_dtype_supported(dtype) -> None:
     """Fail fast when float64 is requested without jax_enable_x64 --
     JAX would otherwise silently truncate the operator to float32 and

@@ -109,6 +109,13 @@ class QPSpec:
     # Box bound for the CONVEX slack variant: |sigma_pred| <= sigma_bound
     sigma_bound: Optional[float]
 
+    # The setpoints baked into g / b_const / r0 (flattened (m,) / (p,)).
+    # Kept so the setpoint-parametric tracking operator
+    # (qp/solution_map.py::compute_tracking_operator_np) can verify its
+    # derivation against the baked values.
+    u_s: Optional[np.ndarray] = None
+    y_s: Optional[np.ndarray] = None
+
     @property
     def nz(self) -> int:
         return self.H.shape[0]
@@ -124,6 +131,14 @@ class QPSpec:
         d = self.dims
         start = self.ubar_slice.start + d.n * d.m
         return slice(start, self.ubar_slice.start + (d.L + d.n) * d.m)
+
+    @property
+    def y_pred_slice(self) -> slice:
+        """Rows of z holding ybar[0, L-1] (the predicted-output
+        segment)."""
+        d = self.dims
+        start = self.ybar_slice.start + d.n * d.p
+        return slice(start, self.ybar_slice.start + (d.L + d.n) * d.p)
 
     @property
     def sigma_pred_slice(self) -> Optional[slice]:
