@@ -81,6 +81,7 @@ class DirectDataDrivenMPCController:
         n_mpc_step: int = 1,
         use_terminal_constraint: bool = True,
         admm_iters: int = 200,
+        allow_nonconvex_slack: bool = False,
     ):
         self.controller_type = controller_type
         if controller_type not in (
@@ -137,6 +138,10 @@ class DirectDataDrivenMPCController:
         self.n_mpc_step = n_mpc_step
         self.use_terminal_constraint = use_terminal_constraint
         self.admm_iters = admm_iters
+        # Opt-in solver for the paper's Eq. 6d NON_CONVEX slack variant
+        # (the reference raises NotImplementedError for it; with this
+        # flag the convex-concave solver in qp/nonconvex.py is used).
+        self.allow_nonconvex_slack = allow_nonconvex_slack
         self._admm_state: Optional[tuple] = None
         self._status = "unsolved"
         self._cost_value: Optional[float] = None
@@ -229,13 +234,24 @@ class DirectDataDrivenMPCController:
             c=self.c,
             slack_var_constraint_type=self.slack_var_constraint_type,
             use_terminal_constraint=self.use_terminal_constraint,
+            allow_nonconvex_slack=self.allow_nonconvex_slack,
         )
 
         self._use_admm = (
             self._spec.slack_var_constraint_type
             == SlackVarConstraintTypes.CONVEX
         )
-        if self._use_admm:
+        self._use_nonconvex = (
+            self._spec.slack_var_constraint_type
+            == SlackVarConstraintTypes.NON_CONVEX
+        )
+        if self._use_nonconvex:
+            from direct_data_driven_mpc_tpu.qp.nonconvex import (
+                compute_nonconvex_operator_np,
+            )
+
+            self._op = compute_nonconvex_operator_np(self._spec)
+        elif self._use_admm:
             self._op = compute_admm_operator_np(self._spec)
         else:
             self._op = compute_solution_operator_np(self._spec)
@@ -254,18 +270,21 @@ class DirectDataDrivenMPCController:
 
         # Optional native (C) hot path for the per-step solve; falls
         # back to NumPy transparently when no compiler is available.
+        # (No native path for the NON_CONVEX variant yet: its host
+        # solve is already microseconds via the pre-factorized ADMM.)
         self._native = None
-        try:
-            from direct_data_driven_mpc_tpu import native as _native_mod
+        if not self._use_nonconvex:
+            try:
+                from direct_data_driven_mpc_tpu import native as _native_mod
 
-            if _native_mod.get_lib() is not None:
-                self._native = (
-                    _native_mod.NativeADMMSolver(self._op)
-                    if self._use_admm
-                    else _native_mod.NativeAffineSolver(self._op)
-                )
-        except Exception:
-            self._native = None
+                if _native_mod.get_lib() is not None:
+                    self._native = (
+                        _native_mod.NativeADMMSolver(self._op)
+                        if self._use_admm
+                        else _native_mod.NativeAffineSolver(self._op)
+                    )
+            except Exception:
+                self._native = None
 
         # Initial solve validates the formulation and populates
         # optimal_u (reference does the same, ref :386-387).
@@ -280,10 +299,10 @@ class DirectDataDrivenMPCController:
         """Device-resident exact affine operator (slack NONE paths)."""
         import jax.numpy as jnp
 
-        if self._use_admm:
+        if self._use_admm or self._use_nonconvex:
             raise ValueError(
-                "CONVEX slack controllers use the ADMM operator; call "
-                "admm_solver() instead."
+                "CONVEX/NON_CONVEX slack controllers use iterative "
+                "operators; call admm_solver() / nonconvex_admm_solver()."
             )
         return compute_solution_map(
             self._spec, dtype=dtype or jnp.float32
@@ -296,10 +315,11 @@ class DirectDataDrivenMPCController:
         ``build_linear_engine``). Keys: ``z_base, Z, u_base, U_gain,
         cost_P, cost_q, cost_r`` (see
         ``qp.solution_map.compute_solution_operator_np``)."""
-        if self._use_admm:
+        if self._use_admm or self._use_nonconvex:
             raise ValueError(
-                "CONVEX slack controllers do not condense to an affine "
-                "operator; use admm_solver() with the generic engine."
+                "CONVEX/NON_CONVEX slack controllers do not condense to "
+                "an affine operator; use admm_solver() / "
+                "nonconvex_admm_solver() with the generic engine."
             )
         return self._op
 
@@ -312,11 +332,11 @@ class DirectDataDrivenMPCController:
         pipeline, ref :945-982.)"""
         import jax.numpy as jnp
 
-        if self._use_admm:
+        if self._use_admm or self._use_nonconvex:
             raise ValueError(
-                "CONVEX slack controllers do not condense to an affine "
-                "operator; tracking schedules need a slack-NONE "
-                "controller."
+                "CONVEX/NON_CONVEX slack controllers do not condense to "
+                "an affine operator; tracking schedules need a "
+                "slack-NONE controller."
             )
         return compute_tracking_map(
             self._spec, dtype=dtype or jnp.float32
@@ -328,10 +348,31 @@ class DirectDataDrivenMPCController:
 
         if not self._use_admm:
             raise ValueError(
-                "Slack-NONE controllers use the exact affine operator; "
-                "call solution_map() instead."
+                "admm_solver() is the CONVEX-slack operator; slack-NONE "
+                "controllers use solution_map(), NON_CONVEX ones "
+                "nonconvex_admm_solver()."
             )
         return compute_admm_solver(self._spec, dtype=dtype or jnp.float32)
+
+    def nonconvex_admm_solver(self, dtype=None):
+        """Device-resident convex-concave operator for the NON_CONVEX
+        slack variant (paper Eq. 6d; qp/nonconvex.py). Only available
+        when constructed with ``allow_nonconvex_slack=True`` -- a
+        capability the reference lacks (ref :666-670 raises)."""
+        import jax.numpy as jnp
+
+        from direct_data_driven_mpc_tpu.qp.nonconvex import (
+            compute_nonconvex_admm_solver,
+        )
+
+        if not self._use_nonconvex:
+            raise ValueError(
+                "nonconvex_admm_solver() requires a NON_CONVEX slack "
+                "controller (allow_nonconvex_slack=True)."
+            )
+        return compute_nonconvex_admm_solver(
+            self._spec, dtype=dtype or jnp.float32
+        )
 
     # --- per-step solve ---------------------------------------------------
     def _theta(self) -> np.ndarray:
@@ -348,6 +389,28 @@ class DirectDataDrivenMPCController:
 
     def solve_mpc_problem(self) -> str:
         theta = self._theta()
+        if self._use_nonconvex:
+            from direct_data_driven_mpc_tpu.qp.nonconvex import (
+                nonconvex_admm_solve_np,
+            )
+
+            u, cost, self._admm_state, stats = nonconvex_admm_solve_np(
+                self._op,
+                theta,
+                inner_iters=self.admm_iters,
+                state=self._admm_state,
+            )
+            converged = stats[-1]
+            self._u_opt = u
+            self._cost_value = cost
+            self._status = (
+                "optimal"
+                if converged and np.isfinite(u).all()
+                else "optimal_inaccurate"
+                if np.isfinite(u).all()
+                else "infeasible"
+            )
+            return self._status
         if self._use_admm:
             if self._native is not None:
                 if self._admm_state is None:

@@ -108,6 +108,32 @@ def make_solve_fn(
 
         return solve, init_state
 
+    from direct_data_driven_mpc_tpu.qp.nonconvex import (
+        NonConvexADMMSolver,
+        nonconvex_admm_solve,
+        nonconvex_initial_state,
+    )
+
+    if isinstance(solver, NonConvexADMMSolver):
+        # Paper Eq. 6d variant: warm-started convex-concave fixed point
+        # (outer bound + inner ADMM state both carried across steps).
+        init_nc = nonconvex_initial_state(solver)
+
+        def solve(theta, state):
+            # 4 outer iterations: warm-started along a trajectory the
+            # bound fixed point is stationary after 1-2 (cold start is
+            # only the first solve; tests/test_nonconvex.py measures
+            # the margin).
+            u, cost, new_state, stats = nonconvex_admm_solve(
+                solver, theta,
+                outer_iters=4,
+                inner_iters=admm_iters,
+                state=state, tol=admm_tol,
+            )
+            return u.reshape(-1, m), cost, new_state, stats.converged
+
+        return solve, init_nc
+
     if isinstance(solver, tuple) and len(solver) == 2 and callable(solver[0]):
         # Escape hatch for custom solve functions (e.g. mesh-sharded
         # gain application in parallel/mesh.py): (solve_fn, init_state).

@@ -19,8 +19,16 @@ from direct_data_driven_mpc_tpu.qp.admm import (
 from direct_data_driven_mpc_tpu.qp.distributed import (
     make_distributed_kkt_solver,
 )
+from direct_data_driven_mpc_tpu.qp.nonconvex import (
+    NonConvexADMMSolver,
+    compute_nonconvex_admm_solver,
+    nonconvex_admm_solve,
+)
 
 __all__ = [
+    "NonConvexADMMSolver",
+    "compute_nonconvex_admm_solver",
+    "nonconvex_admm_solve",
     "DataDrivenMPCType",
     "SlackVarConstraintTypes",
     "QPSpec",

@@ -80,10 +80,19 @@ class ADMMStats(NamedTuple):
 
 
 def compute_admm_operator_np(
-    spec: QPSpec, rho: float | None = None, alpha: float = 1.6
+    spec: QPSpec,
+    rho: float | None = None,
+    alpha: float = 1.6,
+    return_alpha_maps: bool = False,
 ) -> dict:
     """Host float64 pre-factorization of the ADMM z-step (single source
-    of truth for both the numpy and the device paths)."""
+    of truth for both the numpy and the device paths).
+
+    With ``return_alpha_maps=True`` the dict additionally carries the
+    affine maps extracting the alpha block of the z-step solution
+    (``a_c, A_theta, A_s``) -- used by the NON_CONVEX slack solver
+    (qp/nonconvex.py) whose bound update needs ``||alpha||_1``.
+    """
     if spec.sigma_bound is None:
         raise ValueError(
             "ADMM solver requires a CONVEX slack constraint (sigma_bound)."
@@ -134,7 +143,17 @@ def compute_admm_operator_np(
     cost_q = Z_full.T @ (H @ z_c + g)
     cost_r = 0.5 * z_c @ H @ z_c + g @ z_c + spec.r0
 
+    out_alpha = {}
+    if return_alpha_maps:
+        a_sl = spec.alpha_slice
+        out_alpha = {
+            "a_c": z_c[a_sl],
+            "A_theta": Z_theta[a_sl],
+            "A_s": Z_s[a_sl],
+        }
+
     return {
+        **out_alpha,
         "v_c": E @ z_c,
         "V_theta": E @ Z_theta,
         "V_s": E @ Z_s,

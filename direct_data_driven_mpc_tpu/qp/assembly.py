@@ -46,6 +46,7 @@ def build_qp_spec(
         SlackVarConstraintTypes.NONE
     ),
     use_terminal_constraint: bool = True,
+    allow_nonconvex_slack: bool = False,
 ) -> QPSpec:
     """Build the static QP spec for one controller configuration.
 
@@ -78,7 +79,12 @@ def build_qp_spec(
     if (
         robust
         and slack_var_constraint_type == SlackVarConstraintTypes.NON_CONVEX
+        and not allow_nonconvex_slack
     ):
+        # Reference parity by default (ref :666-670 raises the same).
+        # This framework CAN solve the variant -- opt in with
+        # allow_nonconvex_slack=True and solve via qp/nonconvex.py
+        # (convex-concave fixed point over the pre-factorized ADMM).
         raise NotImplementedError(
             "Robust Data-Driven MPC with a Non-Convex slack variable "
             "constraint is not currently implemented, since it cannot "
@@ -191,10 +197,15 @@ def build_qp_spec(
         H[sigma_slice, sigma_slice] += 2.0 * float(lamb_sigma) * np.eye(n_y)
 
     sigma_bound: Optional[float] = None
-    if (
-        robust
-        and slack_var_constraint_type == SlackVarConstraintTypes.CONVEX
+    if robust and slack_var_constraint_type in (
+        SlackVarConstraintTypes.CONVEX,
+        SlackVarConstraintTypes.NON_CONVEX,
     ):
+        # CONVEX (Remark 3): the box half-width itself. NON_CONVEX
+        # (Eq. 6d): the base coefficient c*eps_max of the state-
+        # dependent bound c*eps_max*(1 + ||alpha||_1); the solver in
+        # qp/nonconvex.py scales it by (1 + ||alpha||_1) per outer
+        # fixed-point iteration.
         sigma_bound = float(c) * float(eps_max)
 
     return QPSpec(

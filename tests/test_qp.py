@@ -40,6 +40,7 @@ def _small_problem(
     use_terminal=True,
     seed=0,
     c=1.0,
+    allow_nonconvex=False,
 ):
     """Small SISO-ish 2nd-order problem: n=2, m=1, p=1, L=6, N=30."""
     rng = np.random.default_rng(seed)
@@ -78,6 +79,7 @@ def _small_problem(
         c=c,
         slack_var_constraint_type=slack,
         use_terminal_constraint=use_terminal,
+        allow_nonconvex_slack=allow_nonconvex,
     )
     theta = np.concatenate(
         [u_d[-n:].flatten(), y_d[-n:].flatten()]
