@@ -4,7 +4,10 @@
 Default run: a chip-saturating Monte-Carlo batch (262144 scenarios x
 400 closed-loop steps) of the paper's four-tank Robust controller
 (571-variable QP per step, one QP solve per step), executed by the
-condensed affine engine (control/linear_engine.py) in float32 with
+Pallas fused-rollout kernel (ops/pallas_rollout.py; measured 1.36x the
+XLA condensed engine at this shape) in a time-boxed subprocess, falling
+back to the condensed affine engine (control/linear_engine.py) if the
+kernel's remote Mosaic compile times out. Both engines run float32 with
 full-precision matmuls. Solves are counted per QP solve; every solve's
 applied input, measured output, and optimal cost are produced and
 timing forces a readback (this platform's block_until_ready does not
@@ -506,8 +509,56 @@ def run_config(config: str) -> dict:
     }
 
 
+def try_pallas_headline(timeout_s: float = 1500.0) -> dict | None:
+    """Attempt the Pallas fused-rollout kernel on the full headline
+    shape (B=262144) in a TIME-BOXED subprocess.
+
+    Measured on this chip the kernel beats the XLA condensed engine
+    1.36x at the headline shape (884M vs 656M solves/s), but its Mosaic
+    compile through this image's remote-compile tunnel is slow and
+    variable (~3-12 min observed). A subprocess + timeout keeps a
+    compile hang from eating the whole bench: on any failure the caller
+    falls back to the reliably-compiling XLA engine.
+    """
+    import subprocess
+
+    log(f"attempting Pallas headline (B=262144, timeout {timeout_s:.0f}s; "
+        "falls back to the XLA condensed engine on failure)...")
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "pallas", "262144"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        log("Pallas headline attempt timed out; falling back to XLA.")
+        return None
+    except Exception as e:  # noqa: BLE001 - any failure means fallback
+        log(f"Pallas headline attempt failed ({e!r}); falling back.")
+        return None
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        log(f"Pallas headline attempt exited {proc.returncode}; "
+            "falling back to XLA.")
+        return None
+    try:
+        result = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        log("Pallas headline attempt produced no JSON; falling back.")
+        return None
+    # Same workload, same metric: report under the headline config name
+    # (the engine is logged on stderr + recorded in BASELINE.md).
+    result["metric"] = "closed_loop_qp_solves_per_s_per_chip_four_tank_robust"
+    log("headline engine: Pallas fused-rollout kernel")
+    return result
+
+
 def main() -> None:
     config = sys.argv[1] if len(sys.argv) > 1 else "four_tank_robust"
+    if config == "four_tank_robust":
+        result = try_pallas_headline()
+        if result is not None:
+            print(json.dumps(result))
+            return
     print(json.dumps(run_config(config)))
 
 

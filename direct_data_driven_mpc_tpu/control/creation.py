@@ -22,11 +22,16 @@ def create_data_driven_mpc_controller(
     u_d: np.ndarray,
     y_d: np.ndarray,
     use_terminal_constraint: bool = True,
+    allow_nonconvex_slack: bool = False,
 ) -> DirectDataDrivenMPCController:
     """Create a controller from a config dict + initial I/O data.
 
     ``m``/``p`` are inferred from the data column counts (reference
     semantics, controller_creation.py:223-224).
+
+    ``allow_nonconvex_slack=True`` opts into actually SOLVING the
+    NON_CONVEX slack variant (paper Eq. 6d; qp/nonconvex.py) instead of
+    the reference-parity ``NotImplementedError``.
     """
     m = u_d.shape[1]
     p = y_d.shape[1]
@@ -51,4 +56,5 @@ def create_data_driven_mpc_controller(
         controller_type=controller_config["controller_type"],
         n_mpc_step=controller_config["n_mpc_step"],
         use_terminal_constraint=use_terminal_constraint,
+        allow_nonconvex_slack=allow_nonconvex_slack,
     )

@@ -107,6 +107,12 @@ def parse_args() -> argparse.Namespace:
         help="Slack variable constraint type override (Robust only).",
     )
     parser.add_argument(
+        "--allow_nonconvex_slack", action="store_true", default=False,
+        help="Actually SOLVE the NonConvex slack variant (paper Eq. 6d,"
+        " convex-concave fixed point) instead of raising like the "
+        "reference implementation.",
+    )
+    parser.add_argument(
         "--t_sim", type=int, default=400,
         help="Simulation length in time steps.",
     )
@@ -215,7 +221,8 @@ def main() -> None:
     if verbose:
         print(f"Initializing {ctype} Data-Driven MPC controller")
     dd_mpc_controller = create_data_driven_mpc_controller(
-        controller_config=dd_mpc_config, u_d=u_d, y_d=y_d
+        controller_config=dd_mpc_config, u_d=u_d, y_d=y_d,
+        allow_nonconvex_slack=args.allow_nonconvex_slack,
     )
 
     # 5. Closed-loop simulation.
@@ -240,9 +247,9 @@ def main() -> None:
                 linear_closed_loop_rollout,
             )
 
-            if (
-                dd_mpc_controller.spec.slack_var_constraint_type
-                == _S.CONVEX
+            if dd_mpc_controller.spec.slack_var_constraint_type in (
+                _S.CONVEX,
+                _S.NON_CONVEX,
             ):
                 raise SystemExit(
                     "--engine linear requires a slack-NONE controller "
@@ -283,6 +290,11 @@ def main() -> None:
                 == _S.CONVEX
             ):
                 solver = dd_mpc_controller.admm_solver()
+            elif (
+                dd_mpc_controller.spec.slack_var_constraint_type
+                == _S.NON_CONVEX
+            ):
+                solver = dd_mpc_controller.nonconvex_admm_solver()
             else:
                 solver = dd_mpc_controller.solution_map()
             result = closed_loop_rollout(

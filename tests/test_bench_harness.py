@@ -116,3 +116,12 @@ def test_time_amortized_decomposition(setup):
     assert tm["overhead_frac_of_big"] >= 0.0
     if tm["per_rep"] > 0:
         assert tm["overhead_frac_of_big"] <= 1.0
+
+
+def test_pallas_headline_fallback_on_timeout():
+    """The headline hybrid must degrade to the XLA engine (return
+    None) when the kernel subprocess cannot finish in time -- a compile
+    hang on the remote tunnel must never eat the whole bench."""
+    from bench import try_pallas_headline
+
+    assert try_pallas_headline(timeout_s=0.5) is None
