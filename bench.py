@@ -30,6 +30,10 @@ headline config-4 metric unless a config is selected):
                                       # 10x10 plant, in-scan RNG noise
     python bench.py four_tank_convex  # CONVEX slack: warm-started
                                       # device ADMM in the scan
+    python bench.py four_tank_nonconvex  # NON_CONVEX slack (Eq. 6d):
+                                      # convex-concave fixed point --
+                                      # the variant the reference
+                                      # cannot solve at all
     python bench.py pallas            # the Pallas fused-rollout kernel
                                       # on the four-tank workload
 
@@ -176,10 +180,16 @@ def _controller(N, L, plant_model, rng, n, m, p, u_s, y_s):
     )
 
 
-def run_convex_config() -> dict:
+def run_convex_config(nonconvex: bool = False) -> dict:
     """CONVEX-slack variant: warm-started fixed-iteration ADMM inside
     the fused scan (the clip nonlinearity does not condense, so this
-    exercises the generic engine + qp/admm.py on device)."""
+    exercises the generic engine + qp/admm.py on device).
+
+    With ``nonconvex=True``: the NON_CONVEX variant (paper Eq. 6d) via
+    the convex-concave fixed point (qp/nonconvex.py) -- the variant the
+    reference refuses to solve at all, measured here at millions of
+    closed-loop solves/s (4 warm-started outer iterations x 16 inner
+    ADMM iterations per solve)."""
     import jax
     import jax.numpy as jnp
 
@@ -221,17 +231,34 @@ def run_convex_config() -> dict:
     u_d = rng.uniform(-1, 1, (N, m))
     w_d = 0.002 * rng.uniform(-1, 1, (N, p))
     y_d = plant_model.simulate(u_d, w_d, N)
+    slack = (
+        SlackVarConstraintTypes.NON_CONVEX
+        if nonconvex
+        else SlackVarConstraintTypes.CONVEX
+    )
+    # NON_CONVEX: c=0.05 so the Eq. 6d bound is material (at c=1 the
+    # box never binds on this config and the problem degenerates to
+    # slack-NONE).
     ctrl = DirectDataDrivenMPCController(
         n=n, m=m, p=p, u_d=u_d, y_d=y_d, L=L,
         Q=3.0 * np.eye(p * L), R=1e-4 * np.eye(m * L),
         u_s=np.array([[1.0], [1.0]]), y_s=np.array([[0.65], [0.77]]),
-        eps_max=0.002, lamb_alpha=0.1 / 0.002, lamb_sigma=1000.0, c=1.0,
-        slack_var_constraint_type=SlackVarConstraintTypes.CONVEX,
+        eps_max=0.002, lamb_alpha=0.1 / 0.002, lamb_sigma=1000.0,
+        c=0.05 if nonconvex else 1.0,
+        slack_var_constraint_type=slack,
         controller_type=DataDrivenMPCType.ROBUST, n_mpc_step=1,
+        allow_nonconvex_slack=nonconvex,
     )
-    solver = ctrl.admm_solver(dtype=jnp.float32)
-    log(f"device: {jax.devices()[0]}; config: four_tank_convex; "
-        f"B={B}, T={T}, admm_iters={admm_iters} (warm-started)")
+    solver = (
+        ctrl.nonconvex_admm_solver(dtype=jnp.float32)
+        if nonconvex
+        else ctrl.admm_solver(dtype=jnp.float32)
+    )
+    cfg_name = "four_tank_nonconvex" if nonconvex else "four_tank_convex"
+    log(f"device: {jax.devices()[0]}; config: {cfg_name}; "
+        f"B={B}, T={T}, admm_iters={admm_iters} (warm-started"
+        + (", 4 outer fixed-point iterations/solve)" if nonconvex
+           else ")"))
 
     dtype = jnp.float32
     x0s = jnp.tile(
@@ -308,7 +335,7 @@ def run_convex_config() -> dict:
     )
     baseline = measure_baseline_single_core(ctrl.spec, theta)
     return {
-        "metric": "closed_loop_qp_solves_per_s_per_chip_four_tank_convex",
+        "metric": f"closed_loop_qp_solves_per_s_per_chip_{cfg_name}",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline, 1),
@@ -326,6 +353,8 @@ def run_config(config: str) -> dict:
 
     if config == "four_tank_convex":
         return run_convex_config()
+    if config == "four_tank_nonconvex":
+        return run_convex_config(nonconvex=True)
 
     use_pallas = config in ("pallas", "pallas_large")
     if config == "pallas":
