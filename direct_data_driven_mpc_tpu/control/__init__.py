@@ -22,6 +22,11 @@ from direct_data_driven_mpc_tpu.control.segmented import (
     resume_from_checkpoint,
     run_segmented,
 )
+from direct_data_driven_mpc_tpu.control.tuning import (
+    differentiable_solution_map,
+    make_closed_loop_objective,
+    tune_regularization,
+)
 
 __all__ = [
     "DirectDataDrivenMPCController",
@@ -38,4 +43,7 @@ __all__ = [
     "SegmentState",
     "resume_from_checkpoint",
     "run_segmented",
+    "differentiable_solution_map",
+    "make_closed_loop_objective",
+    "tune_regularization",
 ]
