@@ -4,10 +4,11 @@
 Default run: a chip-saturating Monte-Carlo batch (262144 scenarios x
 400 closed-loop steps) of the paper's four-tank Robust controller
 (571-variable QP per step, one QP solve per step), executed by the
-Pallas fused-rollout kernel (ops/pallas_rollout.py; measured 1.36x the
-XLA condensed engine at this shape) in a time-boxed subprocess, falling
-back to the condensed affine engine (control/linear_engine.py) if the
-kernel's remote Mosaic compile times out. Both engines run float32 with
+fused-operand Pallas kernel (ops/pallas_rollout.py; measured 3.3x the
+classic condensed engine at this shape -- 47.7 vs 156 ms/rollout, 2.2G
+solves/s on-device) in a time-boxed subprocess, falling back to the
+condensed affine engine (control/linear_engine.py) if the kernel's
+remote Mosaic compile times out. Both engines run float32 with
 full-precision matmuls. Solves are counted per QP solve; every solve's
 applied input, measured output, and optimal cost are produced and
 timing forces a readback (this platform's block_until_ready does not
@@ -403,9 +404,9 @@ def run_config(config: str) -> dict:
         else:
             N, L = 400, 30
         if use_pallas:
-            # Default batch 16384 compiles reliably through this
-            # tunnel (~1-3 min); override with
-            # `bench.py pallas <B>` for the B=65536 variant.
+            # The fused single-matmul kernel compiles in seconds at
+            # this shape; override with `bench.py pallas <B>` for
+            # other batch sizes (B=262144 is the headline).
             B = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
         plant_model = LTIModel(
             A=np.array(
@@ -452,16 +453,40 @@ def run_config(config: str) -> dict:
     if use_pallas:
         from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
             make_amortized_pallas_run,
+            suggest_solves_per_block,
         )
         from direct_data_driven_mpc_tpu.parallel.batch import (
             draw_noise_batch,
         )
 
+        # The kernel's sweet spot differs from the XLA engine's: K is
+        # picked so the fused [w | s] operand fills one 128-lane
+        # contraction tile exactly (K=50 for the four-tank shape --
+        # measured 1.4x faster than running the kernel at the XLA
+        # engine's K=100; sweep in scripts/sweep_pallas.py). Only
+        # applies when the condensed state fits one tile (the
+        # pallas_large shape keeps its VMEM-tuned K).
+        S_cond = plant_model.get_system_order() + n * (m + p)
+        K_kernel = (
+            suggest_solves_per_block(
+                plant_model.get_system_order(), n, m, p,
+                n_mpc_step=1, n_steps=T,
+            )
+            if S_cond <= 128
+            else K
+        )
+        t0 = time.perf_counter()
+        bm_kernel = build_linear_engine(
+            ctrl, plant_model.as_params(), solves_per_block=K_kernel,
+            dtype=dtype,
+        ) if K_kernel != K else bm
+        log(f"kernel block-map composition (K={K_kernel}): "
+            f"{time.perf_counter() - t0:.2f}s")
         noise = draw_noise_batch(
             jax.random.key(0), B, T, p, plant_model.get_eps_max(),
             dtype=dtype,
         )
-        run = make_amortized_pallas_run(bm, n_steps=T)
+        run = make_amortized_pallas_run(bm_kernel, n_steps=T)
         args = (x0s, ups, yps, noise)
     else:
         # In-scan RNG noise: at B=256k an explicit noise tensor would
@@ -542,12 +567,13 @@ def try_pallas_headline(timeout_s: float = 1500.0) -> dict | None:
     """Attempt the Pallas fused-rollout kernel on the full headline
     shape (B=262144) in a TIME-BOXED subprocess.
 
-    Measured on this chip the kernel beats the XLA condensed engine
-    1.36x at the headline shape (884M vs 656M solves/s), but its Mosaic
-    compile through this image's remote-compile tunnel is slow and
-    variable (~3-12 min observed). A subprocess + timeout keeps a
-    compile hang from eating the whole bench: on any failure the caller
-    falls back to the reliably-compiling XLA engine.
+    Measured on this chip the fused-operand kernel beats the classic
+    XLA condensed engine 3.3x at the headline shape (2.05G vs 656M
+    solves/s amortized; 47.7 vs 156 ms/rollout). Its Mosaic compile is
+    20-30 s for this kernel, but compile time through this image's
+    remote-compile tunnel is variable (the round-2 kernel once took
+    707 s), so the subprocess + timeout stays: on any failure the
+    caller falls back to the reliably-compiling XLA engine.
     """
     import subprocess
 

@@ -402,6 +402,41 @@ def _make_rollout_from_fused(
     return run
 
 
+def _make_xla_rollout_from_fused(fused, n_outer: int):
+    """Pure-XLA twin of the Pallas kernel: the SAME fused operator and
+    in-scan cost evaluation, as one ``lax.scan`` whose per-iteration
+    body is one batched MXU matmul. Same ``run(s0, W_packed) ->
+    (U, Y, C, s_fin)`` contract as :func:`_make_rollout_from_fused`.
+
+    Kept as (a) the measured baseline isolating the Pallas carry's
+    contribution from the operator restructure's, and (b) a faster
+    fallback engine when the Mosaic remote compile is unavailable.
+    """
+    G, bias, Seg, dims = fused
+    S, Ku, Kp, K = dims["S"], dims["Ku"], dims["Kp"], dims["K"]
+    W0, W1, W2, W3, W4 = dims["widths"]
+    OFF1, OFF2 = W0, W0 + W1
+    OFF3, OFF4 = W0 + W1 + W2, W0 + W1 + W2 + W3
+
+    def run(s0_batch, W_packed):
+        def step(s, w):
+            with jax.default_matmul_precision("highest"):
+                sw = jnp.concatenate([w, s], axis=1)
+                out = sw @ G + bias
+                z = out[:, OFF3 : OFF3 + W3]
+                C = ((z * z) @ Seg + out[:, OFF4 : OFF4 + W4])[:, :K]
+            return out[:, :S], (
+                out[:, OFF1 : OFF1 + Ku],
+                out[:, OFF2 : OFF2 + Kp],
+                C,
+            )
+
+        s_fin, (U, Y, C) = jax.lax.scan(step, s0_batch, W_packed)
+        return U, Y, C, s_fin
+
+    return run
+
+
 def _center_and_pack(block_map, x0s, u_pasts, y_pasts, Ws, n_outer,
                      steps_per_outer, pad):
     """Shared host->kernel input prep: centered initial state stack and
@@ -432,6 +467,76 @@ def _center_and_pack(block_map, x0s, u_pasts, y_pasts, Ws, n_outer,
     return s0, W_packed
 
 
+def make_fused_batched_rollout(
+    block_map: AffineBlockMap,
+    n_steps: int,
+    n_mpc_step: int = 1,
+    batch_block: int | None = None,
+    interpret: bool = False,
+    backend: str = "pallas",
+):
+    """Build a trace-safe batched fused rollout.
+
+    Host-side operator assembly happens HERE; the returned
+    ``run(x0s, u_pasts, y_pasts, Ws) -> ClosedLoopResult`` contains no
+    host numpy and is safe to call inside ``jit``/``shard_map``
+    (parallel/mesh.py wraps it per data shard). ``backend="xla"`` runs
+    the fused-operator rollout as a plain ``lax.scan`` instead of the
+    Pallas kernel (same math, same outputs)."""
+    import math
+
+    from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
+
+    S = block_map.M_T.shape[0]
+    n_theta = block_map.cost_P.shape[0]
+    ns = S - n_theta
+    K = block_map.os_c.shape[0] // S
+    steps_per_outer = K * n_mpc_step
+    n_outer = math.ceil(n_steps / steps_per_outer)
+    n_solves = math.ceil(n_steps / n_mpc_step)
+    pad = n_outer * steps_per_outer - n_steps
+    fused = _build_fused_operator(block_map)
+
+    def run(x0s, u_pasts, y_pasts, Ws):
+        B = x0s.shape[0]
+        m = u_pasts.shape[2]
+        p = y_pasts.shape[2]
+        s0, W_packed = _center_and_pack(
+            block_map, x0s, u_pasts, y_pasts, Ws, n_outer,
+            steps_per_outer, pad,
+        )
+        if backend == "xla":
+            kern = _make_xla_rollout_from_fused(fused, n_outer)
+        else:
+            bb = batch_block
+            if bb is None:
+                bb = pick_batch_block(block_map, B)
+            kern = _make_rollout_from_fused(
+                fused, n_outer, batch_block=bb, interpret=interpret
+            )
+        U, Y, C, s_fin = kern(s0, W_packed)
+        s_fin = s_fin + block_map.s_star[None, :]
+
+        u_sys = U.transpose(1, 0, 2).reshape(B, -1, m)[:, :n_steps]
+        y_sys = Y.transpose(1, 0, 2).reshape(B, -1, p)[:, :n_steps]
+        costs = C.transpose(1, 0, 2).reshape(B, -1)[:, :n_solves]
+        return ClosedLoopResult(
+            u_sys=u_sys,
+            y_sys=y_sys,
+            costs=costs,
+            converged=jnp.isfinite(costs),
+            x_final=s_fin[:, :ns],
+            u_past=s_fin[:, ns : ns + u_pasts.shape[1] * m].reshape(
+                u_pasts.shape
+            ),
+            y_past=s_fin[:, ns + u_pasts.shape[1] * m :].reshape(
+                y_pasts.shape
+            ),
+        )
+
+    return run
+
+
 def pallas_batched_rollout(
     block_map: AffineBlockMap,
     x0s: jax.Array,  # (B, ns)
@@ -442,54 +547,17 @@ def pallas_batched_rollout(
     n_mpc_step: int = 1,
     batch_block: int | None = None,
     interpret: bool = False,
+    backend: str = "pallas",
 ):
-    """Convenience wrapper matching ``make_linear_batched_rollout``'s
+    """Convenience wrapper matching ``make_linear_batched_rollout``\'s
     result contract (returns a ClosedLoopResult). ``batch_block=None``
-    auto-sizes the block to the VMEM budget."""
-    import math
-
-    from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
-
-    B = x0s.shape[0]
-    if batch_block is None:
-        batch_block = pick_batch_block(block_map, B)
-    m = u_pasts.shape[2]
-    p = y_pasts.shape[2]
-    S = block_map.M_T.shape[0]
-    n_theta = block_map.cost_P.shape[0]
-    ns = S - n_theta
-    K = block_map.os_c.shape[0] // S
-    steps_per_outer = K * n_mpc_step
-    n_outer = math.ceil(n_steps / steps_per_outer)
-    n_solves = math.ceil(n_steps / n_mpc_step)
-    pad = n_outer * steps_per_outer - n_steps
-
-    s0, W_packed = _center_and_pack(
-        block_map, x0s, u_pasts, y_pasts, Ws, n_outer, steps_per_outer,
-        pad,
-    )
-    run = make_pallas_rollout(
-        block_map, n_outer, batch_block=batch_block, interpret=interpret
-    )
-    U, Y, C, s_fin = run(s0, W_packed)
-    s_fin = s_fin + block_map.s_star[None, :]
-
-    u_sys = U.transpose(1, 0, 2).reshape(B, -1, m)[:, :n_steps]
-    y_sys = Y.transpose(1, 0, 2).reshape(B, -1, p)[:, :n_steps]
-    costs = C.transpose(1, 0, 2).reshape(B, -1)[:, :n_solves]
-    return ClosedLoopResult(
-        u_sys=u_sys,
-        y_sys=y_sys,
-        costs=costs,
-        converged=jnp.isfinite(costs),
-        x_final=s_fin[:, :ns],
-        u_past=s_fin[:, ns : ns + u_pasts.shape[1] * m].reshape(
-            u_pasts.shape
-        ),
-        y_past=s_fin[:, ns + u_pasts.shape[1] * m :].reshape(
-            y_pasts.shape
-        ),
-    )
+    auto-sizes the block to the VMEM budget. ``backend="xla"`` runs the
+    fused-operator rollout as a plain ``lax.scan`` instead of the
+    Pallas kernel (same math, same outputs)."""
+    return make_fused_batched_rollout(
+        block_map, n_steps, n_mpc_step=n_mpc_step,
+        batch_block=batch_block, interpret=interpret, backend=backend,
+    )(x0s, u_pasts, y_pasts, Ws)
 
 
 def make_amortized_pallas_run(
@@ -498,10 +566,12 @@ def make_amortized_pallas_run(
     n_mpc_step: int = 1,
     batch_block: int | None = None,
     interpret: bool = False,
+    backend: str = "pallas",
 ):
     """Amortized-throughput harness for the kernel (same contract as
     ``bench.make_amortized_linear_run``): one jitted call runs ``R``
     back-to-back kernel rollouts, R a traced fori_loop trip count.
+    ``backend="xla"`` times the fused-operator scan twin instead.
 
     Repetition ``i`` rotates the packed noise by ``i`` outer blocks (a
     distinct bounded-noise realization per rep; nothing CSE-able) and
@@ -525,12 +595,15 @@ def make_amortized_pallas_run(
 
     def run(x0s, u_pasts, y_pasts, Ws, R):
         B = x0s.shape[0]
-        bb = batch_block
-        if bb is None:
-            bb = pick_batch_block(block_map, B)
-        kernel = _make_rollout_from_fused(
-            fused, n_outer, batch_block=bb, interpret=interpret
-        )
+        if backend == "xla":
+            kernel = _make_xla_rollout_from_fused(fused, n_outer)
+        else:
+            bb = batch_block
+            if bb is None:
+                bb = pick_batch_block(block_map, B)
+            kernel = _make_rollout_from_fused(
+                fused, n_outer, batch_block=bb, interpret=interpret
+            )
         s0, W_packed = _center_and_pack(
             block_map, x0s, u_pasts, y_pasts, Ws, n_outer,
             steps_per_outer, pad,

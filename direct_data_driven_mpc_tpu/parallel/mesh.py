@@ -201,6 +201,81 @@ def make_mesh_rollout(
     return jax.jit(run)
 
 
+def make_sharded_fused_rollout(
+    mesh: Mesh,
+    block_map,
+    n_steps: int,
+    n_mpc_step: int = 1,
+    backend: str = "pallas",
+    batch_block: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Fused-operator rollout (Pallas kernel or its XLA scan twin,
+    ops/pallas_rollout.py) data-parallel over the mesh via
+    ``shard_map``.
+
+    A Pallas kernel is a per-device program, so the multi-chip path is
+    exactly ``shard_map`` over the ``data`` axis: each device runs the
+    kernel on its local scenario shard, zero collectives in the hot
+    loop, one ``psum`` pair for the aggregate metrics. Returns
+    ``run(x0s, u_pasts, y_pasts, Ws) -> (ClosedLoopResult, metrics)``
+    with the same metric contract as :func:`make_mesh_rollout`.
+
+    ``backend="xla"`` swaps in the fused scan twin -- the path
+    ``__graft_entry__.dryrun_multichip`` exercises on virtual CPU
+    meshes, where Mosaic kernels cannot compile (``interpret=True``
+    works but is orders of magnitude slower).
+    """
+    from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
+        make_fused_batched_rollout,
+    )
+
+    # Host-side operator assembly happens outside the traced region.
+    local_rollout = make_fused_batched_rollout(
+        block_map, n_steps, n_mpc_step=n_mpc_step,
+        batch_block=batch_block, interpret=interpret, backend=backend,
+    )
+
+    result_specs = ClosedLoopResult(
+        u_sys=P("data"),
+        y_sys=P("data"),
+        costs=P("data"),
+        converged=P("data"),
+        x_final=P("data"),
+        u_past=P("data"),
+        y_past=P("data"),
+        solver_state=None,
+    )
+    out_specs = (result_specs, {"mean_final_cost": P(),
+                                "frac_converged": P()})
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def sharded(x0s, u_pasts, y_pasts, Ws):
+        result = local_rollout(x0s, u_pasts, y_pasts, Ws)
+        local_b = result.costs.shape[0]
+        tot_b = jax.lax.psum(jnp.float32(local_b), "data")
+        tot_cost = jax.lax.psum(jnp.sum(result.costs[:, -1]), "data")
+        tot_conv = jax.lax.psum(
+            jnp.sum(result.converged.astype(jnp.float32)), "data"
+        )
+        tot_solves = jax.lax.psum(
+            jnp.asarray(result.converged.size, jnp.float32), "data"
+        )
+        metrics = {
+            "mean_final_cost": tot_cost / tot_b,
+            "frac_converged": tot_conv / tot_solves,
+        }
+        return result, metrics
+
+    return jax.jit(sharded)
+
+
 def make_sharded_linear_rollout(
     mesh: Mesh,
     block_map,

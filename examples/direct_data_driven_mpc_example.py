@@ -122,10 +122,11 @@ def parse_args() -> argparse.Namespace:
     )
     parser.add_argument(
         "--engine", type=str, default="host",
-        choices=["host", "fused", "linear"],
+        choices=["host", "fused", "linear", "pallas"],
         help="Closed-loop execution engine: host = stateful step loop; "
         "fused = jitted on-device scan; linear = condensed affine "
-        "engine (fastest; slack-NONE controllers only).",
+        "engine; pallas = the fused-operand TPU kernel (the bench "
+        "headline engine; slack-NONE controllers only, like linear).",
     )
     parser.add_argument(
         "--save_anim", action="store_true", default=False,
@@ -231,7 +232,7 @@ def main() -> None:
             f"Starting {ctype} Data-Driven MPC control system simulation "
             f"({args.engine} engine)"
         )
-    if args.engine in ("fused", "linear"):
+    if args.engine in ("fused", "linear", "pallas"):
         import jax.numpy as jnp
 
         from direct_data_driven_mpc_tpu.qp.spec import (
@@ -241,7 +242,7 @@ def main() -> None:
         w_sys = system_model.get_eps_max() * np_random.uniform(
             -1.0, 1.0, (n_steps, p)
         )
-        if args.engine == "linear":
+        if args.engine in ("linear", "pallas"):
             from direct_data_driven_mpc_tpu.control.linear_engine import (
                 build_linear_engine,
                 linear_closed_loop_rollout,
@@ -252,9 +253,9 @@ def main() -> None:
                 _S.NON_CONVEX,
             ):
                 raise SystemExit(
-                    "--engine linear requires a slack-NONE controller "
-                    "(the ADMM clip does not condense); use --engine "
-                    "fused."
+                    f"--engine {args.engine} requires a slack-NONE "
+                    "controller (the ADMM clip does not condense); use "
+                    "--engine fused."
                 )
             bm = build_linear_engine(
                 dd_mpc_controller,
@@ -264,19 +265,47 @@ def main() -> None:
                     -(-n_steps // dd_mpc_controller.n_mpc_step),
                 ),
             )
-            result = linear_closed_loop_rollout(
-                bm,
-                jnp.asarray(system_model.get_state(), jnp.float32),
-                jnp.asarray(
-                    dd_mpc_controller.u_past.reshape(-1, m), jnp.float32
-                ),
-                jnp.asarray(
-                    dd_mpc_controller.y_past.reshape(-1, p), jnp.float32
-                ),
-                W=jnp.asarray(w_sys, jnp.float32),
-                n_steps=n_steps,
-                n_mpc_step=dd_mpc_controller.n_mpc_step,
-            )
+            if args.engine == "pallas":
+                from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
+                    pallas_batched_rollout,
+                )
+
+                # Single scenario on the kernel: tile to the minimum
+                # 8-sublane batch block, keep lane 0.
+                B = 8
+                tile = lambda a: jnp.tile(jnp.asarray(a, jnp.float32)[None],
+                                          (B,) + (1,) * a.ndim)
+                batch = pallas_batched_rollout(
+                    bm,
+                    tile(system_model.get_state()),
+                    tile(dd_mpc_controller.u_past.reshape(-1, m)),
+                    tile(dd_mpc_controller.y_past.reshape(-1, p)),
+                    tile(w_sys),
+                    n_steps=n_steps,
+                    n_mpc_step=dd_mpc_controller.n_mpc_step,
+                    batch_block=8,
+                )
+                import jax as _jax
+
+                result = _jax.tree.map(
+                    lambda a: a[0] if a.ndim else a, batch
+                )
+            else:
+                result = linear_closed_loop_rollout(
+                    bm,
+                    jnp.asarray(system_model.get_state(), jnp.float32),
+                    jnp.asarray(
+                        dd_mpc_controller.u_past.reshape(-1, m),
+                        jnp.float32,
+                    ),
+                    jnp.asarray(
+                        dd_mpc_controller.y_past.reshape(-1, p),
+                        jnp.float32,
+                    ),
+                    W=jnp.asarray(w_sys, jnp.float32),
+                    n_steps=n_steps,
+                    n_mpc_step=dd_mpc_controller.n_mpc_step,
+                )
         else:
             from direct_data_driven_mpc_tpu.control.loop import (
                 closed_loop_rollout,

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """TPU sweep harness for the fused-rollout Pallas kernel.
 
-Usage: python scripts/sweep_pallas.py <K> <B> [batch_block] [T] [R]
+Usage: python scripts/sweep_pallas.py <K> <B> [batch_block] [T] [R] [backend]
 
 Runs ONE kernel configuration (one compile per process -- the remote
 compile tunnel is slow and variable; see CLAUDE.md) with the amortized
@@ -26,6 +26,7 @@ def main() -> None:
     bb = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     T = int(sys.argv[4]) if len(sys.argv) > 4 else 400
     R = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+    backend = sys.argv[6] if len(sys.argv) > 6 else "pallas"
 
     import jax
     import jax.numpy as jnp
@@ -66,9 +67,10 @@ def main() -> None:
         ctrl, plant.as_params(), solves_per_block=K, dtype=jnp.float32
     )
     print(f"compose K={K}: {time.perf_counter() - t0:.1f}s", flush=True)
-    if bb == 0:
+    if bb == 0 and backend == "pallas":
         bb = pick_batch_block(bm, B)
-    print(f"config: K={K} B={B} bb={bb} T={T} R={R}", flush=True)
+    print(f"config: K={K} B={B} bb={bb} T={T} R={R} backend={backend}",
+          flush=True)
 
     dtype = jnp.float32
     x0s = jnp.tile(jnp.asarray(plant.get_state(), dtype)[None], (B, 1))
@@ -79,7 +81,9 @@ def main() -> None:
         jnp.asarray(ctrl.y_past.reshape(n, p), dtype)[None], (B, 1, 1)
     )
     noise = draw_noise_batch(jax.random.key(0), B, T, p, 0.002, dtype=dtype)
-    run = make_amortized_pallas_run(bm, n_steps=T, batch_block=bb)
+    run = make_amortized_pallas_run(
+        bm, n_steps=T, batch_block=bb or None, backend=backend
+    )
     args = (x0s, ups, yps, noise)
 
     t0 = time.perf_counter()
@@ -90,7 +94,8 @@ def main() -> None:
     tm = time_amortized(run, args, R_small=1, R_big=R)
     sps = B * T * R / tm["t_big"]
     print(
-        f"RESULT K={K} B={B} bb={bb}: per-rollout {tm['per_rep']*1e3:.1f} ms, "
+        f"RESULT {backend} K={K} B={B} bb={bb}: "
+        f"per-rollout {tm['per_rep']*1e3:.1f} ms, "
         f"relay {tm['per_call_overhead']*1e3:.0f} ms "
         f"({tm['overhead_frac_of_big']*100:.1f}%), "
         f"{sps:,.0f} solves/s (on-device {B*T/tm['per_rep']:,.0f})",

@@ -61,3 +61,19 @@ def test_pallas_kernel_matches_linear_engine(n_steps, K):
     np.testing.assert_allclose(
         np.asarray(res.u_past), np.asarray(ref.u_past), atol=2e-5
     )
+
+    # The fused-operator XLA twin (same operator, lax.scan instead of
+    # the Pallas grid) must produce the same trajectories and costs.
+    xla_twin = pallas_batched_rollout(
+        bm, x0s, ups, yps, Ws, n_steps=n_steps, backend="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(xla_twin.u_sys), np.asarray(ref.u_sys), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(xla_twin.y_sys), np.asarray(ref.y_sys), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(xla_twin.costs), np.asarray(res.costs), rtol=1e-4,
+        atol=1e-6,
+    )
