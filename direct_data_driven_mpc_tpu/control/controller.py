@@ -354,6 +354,42 @@ class DirectDataDrivenMPCController:
             )
         return compute_admm_solver(self._spec, dtype=dtype or jnp.float32)
 
+    def box_admm_solver(
+        self,
+        u_bounds=None,
+        y_bounds=None,
+        rho=None,
+        alpha: float = 1.6,
+        dtype=None,
+    ):
+        """Device-resident general-box ADMM operator (qp/box.py):
+        actuator saturation ``u_min <= u <= u_max`` and/or output
+        corridors ``y_min <= y <= y_max`` over the whole prediction
+        horizon -- practical MPC constraints the reference cannot
+        express at all (its only inequality is the CONVEX slack box,
+        ref :658-675, which is kept automatically when present).
+
+        Bounds are ``(lo, hi)`` pairs of scalars or per-channel arrays;
+        ``None`` on either side means unbounded. Feed the returned
+        solver to ``control.loop.closed_loop_rollout`` (warm-started
+        across steps like the CONVEX-slack ADMM).
+        """
+        import jax.numpy as jnp
+
+        from direct_data_driven_mpc_tpu.qp.box import (
+            compute_box_admm_solver,
+        )
+
+        if self._use_nonconvex:
+            raise ValueError(
+                "box constraints with the NON_CONVEX slack variant are "
+                "not supported (its bound is state-dependent)."
+            )
+        return compute_box_admm_solver(
+            self._spec, u_bounds=u_bounds, y_bounds=y_bounds,
+            rho=rho, alpha=alpha, dtype=dtype or jnp.float32,
+        )
+
     def nonconvex_admm_solver(self, dtype=None):
         """Device-resident convex-concave operator for the NON_CONVEX
         slack variant (paper Eq. 6d; qp/nonconvex.py). Only available

@@ -108,6 +108,27 @@ def make_solve_fn(
 
         return solve, init_state
 
+    from direct_data_driven_mpc_tpu.qp.box import (
+        BoxADMMSolver,
+        box_admm_solve,
+        box_initial_state,
+    )
+
+    if isinstance(solver, BoxADMMSolver):
+        # General input/output/slack boxes (qp/box.py): warm-started
+        # splitting like the CONVEX-slack ADMM, plus the adapted
+        # penalty-ladder rung carried across closed-loop steps.
+        init_state = box_initial_state(solver)
+
+        def solve(theta, state):
+            u, cost, new_state, stats = box_admm_solve(
+                solver, theta, num_iters=admm_iters, state=state,
+                tol=admm_tol,
+            )
+            return u.reshape(-1, m), cost, new_state, stats.converged
+
+        return solve, init_state
+
     from direct_data_driven_mpc_tpu.qp.nonconvex import (
         NonConvexADMMSolver,
         nonconvex_admm_solve,

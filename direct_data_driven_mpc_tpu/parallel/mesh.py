@@ -27,6 +27,7 @@ from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
 from direct_data_driven_mpc_tpu.ops.lti import LTIParams
 from direct_data_driven_mpc_tpu.parallel.batch import batched_closed_loop
 from direct_data_driven_mpc_tpu.qp.admm import ADMMSolver, ADMMState
+from direct_data_driven_mpc_tpu.qp.box import BoxADMMSolver, BoxADMMState
 from direct_data_driven_mpc_tpu.qp.solution_map import SolutionMap
 
 
@@ -129,6 +130,10 @@ def make_mesh_rollout(
         solver_state=(
             ADMMState(s=P("data"), w=P("data"))
             if isinstance(solver, ADMMSolver)
+            else BoxADMMState(
+                s=P("data"), w=P("data"), rho_idx=P("data")
+            )
+            if isinstance(solver, BoxADMMSolver)
             else None
         ),
     )

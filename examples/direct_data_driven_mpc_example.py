@@ -129,6 +129,17 @@ def parse_args() -> argparse.Namespace:
         "headline engine; slack-NONE controllers only, like linear).",
     )
     parser.add_argument(
+        "--u_min", type=float, default=None,
+        help="Lower actuator bound on every predicted input (requires "
+        "--engine fused; beyond-reference capability via the box-ADMM "
+        "solver, qp/box.py).",
+    )
+    parser.add_argument(
+        "--u_max", type=float, default=None,
+        help="Upper actuator bound on every predicted input (requires "
+        "--engine fused).",
+    )
+    parser.add_argument(
         "--save_anim", action="store_true", default=False,
         help="Save the animation via ffmpeg to --anim_path.",
     )
@@ -314,7 +325,13 @@ def main() -> None:
             # The EFFECTIVE slack type: NOMINAL controllers ignore the
             # configured slack setting (the reference defines sigma
             # constraints only for ROBUST, ref :494-498).
-            if (
+            if args.u_min is not None or args.u_max is not None:
+                # Actuator saturation via the general box-ADMM
+                # (keeps a CONVEX slack box automatically if present).
+                solver = dd_mpc_controller.box_admm_solver(
+                    u_bounds=(args.u_min, args.u_max)
+                )
+            elif (
                 dd_mpc_controller.spec.slack_var_constraint_type
                 == _S.CONVEX
             ):
