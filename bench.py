@@ -35,6 +35,9 @@ headline config-4 metric unless a config is selected):
                                       # convex-concave fixed point --
                                       # the variant the reference
                                       # cannot solve at all
+    python bench.py four_tank_box     # saturated actuator box
+                                      # |u| <= 0.85 via the adaptive
+                                      # penalty-ladder ADMM (qp/box.py)
     python bench.py pallas            # the Pallas fused-rollout kernel
                                       # on the four-tank workload
 
@@ -181,7 +184,7 @@ def _controller(N, L, plant_model, rng, n, m, p, u_s, y_s):
     )
 
 
-def run_convex_config(nonconvex: bool = False) -> dict:
+def run_convex_config(nonconvex: bool = False, box: bool = False) -> dict:
     """CONVEX-slack variant: warm-started fixed-iteration ADMM inside
     the fused scan (the clip nonlinearity does not condense, so this
     exercises the generic engine + qp/admm.py on device).
@@ -190,7 +193,13 @@ def run_convex_config(nonconvex: bool = False) -> dict:
     the convex-concave fixed point (qp/nonconvex.py) -- the variant the
     reference refuses to solve at all, measured here at millions of
     closed-loop solves/s (4 warm-started outer iterations x 16 inner
-    ADMM iterations per solve)."""
+    ADMM iterations per solve).
+
+    With ``box=True``: slack-NONE controller plus a saturated input box
+    ``|u| <= 0.85`` (below the ~1.0 steady-state input, so the
+    constraint is permanently active) solved by the adaptive
+    penalty-ladder ADMM (qp/box.py) -- practical actuator-limited MPC,
+    a constraint class the reference cannot express at all."""
     import jax
     import jax.numpy as jnp
 
@@ -235,6 +244,8 @@ def run_convex_config(nonconvex: bool = False) -> dict:
     slack = (
         SlackVarConstraintTypes.NON_CONVEX
         if nonconvex
+        else SlackVarConstraintTypes.NONE
+        if box
         else SlackVarConstraintTypes.CONVEX
     )
     # NON_CONVEX: c=0.05 so the Eq. 6d bound is material (at c=1 the
@@ -250,12 +261,24 @@ def run_convex_config(nonconvex: bool = False) -> dict:
         controller_type=DataDrivenMPCType.ROBUST, n_mpc_step=1,
         allow_nonconvex_slack=nonconvex,
     )
-    solver = (
-        ctrl.nonconvex_admm_solver(dtype=jnp.float32)
-        if nonconvex
-        else ctrl.admm_solver(dtype=jnp.float32)
-    )
-    cfg_name = "four_tank_nonconvex" if nonconvex else "four_tank_convex"
+    if nonconvex:
+        solver = ctrl.nonconvex_admm_solver(dtype=jnp.float32)
+        cfg_name = "four_tank_nonconvex"
+    elif box:
+        # Fixed rho (the saturated-regime rung of qp/box.py's ladder):
+        # a per-lane adaptive rung would turn the vmapped iteration
+        # matvec into a per-lane batched matmul (measured 40x slower at
+        # B=4096); the bound is permanently active on this workload so
+        # the single rung converges every solve. The adaptive ladder
+        # remains the default for interactive/heterogeneous use.
+        solver = ctrl.box_admm_solver(
+            u_bounds=(-0.85, 0.85), rho=1.0, dtype=jnp.float32
+        )
+        cfg_name = "four_tank_box"
+        admm_iters = 60  # early-exit cap
+    else:
+        solver = ctrl.admm_solver(dtype=jnp.float32)
+        cfg_name = "four_tank_convex"
     log(f"device: {jax.devices()[0]}; config: {cfg_name}; "
         f"B={B}, T={T}, admm_iters={admm_iters} (warm-started"
         + (", 4 outer fixed-point iterations/solve)" if nonconvex
@@ -356,6 +379,8 @@ def run_config(config: str) -> dict:
         return run_convex_config()
     if config == "four_tank_nonconvex":
         return run_convex_config(nonconvex=True)
+    if config == "four_tank_box":
+        return run_convex_config(box=True)
 
     use_pallas = config in ("pallas", "pallas_large")
     if config == "pallas":
@@ -524,6 +549,7 @@ def run_config(config: str) -> dict:
             raise  # explicit pallas configs surface the error
         log(f"Pallas kernel failed ({e!r}); falling back to the XLA "
             "condensed engine.")
+        run = args = noise = None  # free the kernel's noise tensor
         run, args = make_xla_run()
         engine_name = "xla-condensed"
         t0 = time.perf_counter()

@@ -57,8 +57,9 @@ from direct_data_driven_mpc_tpu.qp.spec import (
 def _static_pieces(spec: QPSpec):
     """Host-side constants of the lambda-parametric KKT system.
 
-    Returns ``(H_stage, E_alpha, E_sigma, A, g, b_const, S)`` with the
-    ridge blocks REMOVED from the Hessian: in the assembled spec the
+    Returns ``(H_stage, e_alpha, e_sigma)`` -- the Hessian with the
+    ridge blocks REMOVED plus the alpha/sigma diagonal indicator
+    vectors: in the assembled spec the
     alpha block is exactly ``2*lamb_alpha*eps_max*I`` and the sigma
     block exactly ``2*lamb_sigma*I`` (qp/assembly.py:193-197), so
     zeroing those diagonals recovers the stage-cost-only Hessian
@@ -103,6 +104,13 @@ def differentiable_solution_map(
     operator fields -- parity asserted in tests/test_tuning.py) but in
     JAX, so ``jax.grad`` flows through the returned operator and any
     closed-loop rollout built from it.
+
+    Unlike the host path (which residual-checks and falls back to the
+    pseudoinverse), ``jnp.linalg.solve`` under jit cannot raise on a
+    singular KKT matrix -- it yields NaNs. ROBUST controllers with
+    persistently-exciting data are nonsingular by construction;
+    :func:`tune_regularization` probes the initial objective eagerly
+    and fails fast otherwise.
     """
     from direct_data_driven_mpc_tpu.qp.solution_map import (
         _check_dtype_supported,
@@ -227,6 +235,18 @@ def tune_regularization(
     opt_state = opt.init(params)
     vg = jax.jit(jax.value_and_grad(loss))
 
+    # Fail fast on a singular KKT system (rank-deficient data): inside
+    # the jitted objective jnp.linalg.solve cannot raise, it silently
+    # yields NaN -- so probe the initial loss eagerly here.
+    v0, _ = vg(params)
+    if not bool(jnp.isfinite(v0)):
+        raise ValueError(
+            "closed-loop objective is non-finite at the initial ridge "
+            "weights -- the KKT system is likely singular (check "
+            "persistent excitation of the data; NOMINAL controllers "
+            "are rejected for this reason)."
+        )
+
     history = []
     best = (jnp.inf, params)
     for i in range(steps):
@@ -243,7 +263,7 @@ def tune_regularization(
             )
         updates, opt_state = opt.update(grad, opt_state, params)
         params = optax.apply_updates(params, updates)
-    final = float(loss(params))
+    final = float(vg(params)[0])  # reuse the jitted objective
     if final < float(best[0]):
         best = (final, params)
     history.append(final)

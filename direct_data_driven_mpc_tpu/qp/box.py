@@ -70,6 +70,10 @@ class BoxADMMSolver(NamedTuple):
     cost_r: jax.Array  # (R,)
     lo: jax.Array  # (nbox,) lower bounds
     hi: jax.Array  # (nbox,) upper bounds
+    u_lo: jax.Array  # (L*m,) input-row bounds in u coordinates
+    u_hi: jax.Array  # (L*m,) (+-inf where the input is unboxed):
+    # extraction clips u to these, so the APPLIED input respects the
+    # hard actuator box even when a capped solve exits unconverged
     rhos: jax.Array  # (R,) the penalty ladder (geometric)
     alpha: jax.Array  # () over-relaxation parameter, in (0, 2)
 
@@ -131,10 +135,20 @@ def _box_rows_and_bounds(
             "no box constraints given: pass u_bounds and/or y_bounds "
             "(or use a CONVEX-slack spec)."
         )
+    # Input bounds in u-output coordinates (ubar[0, L-1]): +-inf where
+    # unboxed. Used to clip the extracted u so the applied input
+    # respects the hard box even from a capped, unconverged solve.
+    u_lo = np.full(d.L * d.m, -np.inf)
+    u_hi = np.full(d.L * d.m, np.inf)
+    if u_bounds is not None:
+        k = (d.L - n_pin) * d.m
+        u_lo[:k], u_hi[:k] = lo_parts[0], hi_parts[0]
     return (
         np.concatenate(rows),
         np.concatenate(lo_parts),
         np.concatenate(hi_parts),
+        u_lo,
+        u_hi,
     )
 
 
@@ -171,7 +185,21 @@ def compute_box_admm_operator_np(
         raise ValueError(
             f"over-relaxation alpha must be in (0, 2), got {alpha}"
         )
-    rows, lo, hi = _box_rows_and_bounds(
+    from direct_data_driven_mpc_tpu.qp.spec import SlackVarConstraintTypes
+
+    if (
+        spec.slack_var_constraint_type
+        == SlackVarConstraintTypes.NON_CONVEX
+    ):
+        # The NON_CONVEX spec's sigma_bound is only the BASE coefficient
+        # of the state-dependent Eq. 6d bound c*eps_max*(1+||alpha||_1);
+        # boxing sigma at that constant would silently over-constrain.
+        raise ValueError(
+            "box constraints with the NON_CONVEX slack variant are not "
+            "supported (its slack bound is state-dependent; see "
+            "qp/nonconvex.py)."
+        )
+    rows, lo, hi, u_lo, u_hi = _box_rows_and_bounds(
         spec, u_bounds, y_bounds, include_slack_box
     )
     nbox = rows.size
@@ -238,6 +266,8 @@ def compute_box_admm_operator_np(
         **{k: np.stack(v) for k, v in stacked.items()},
         "lo": lo,
         "hi": hi,
+        "u_lo": u_lo,
+        "u_hi": u_hi,
         "rhos": rhos,
         "alpha": np.float64(alpha),
         "box_rows": rows,  # host-side diagnostic (not a solver field)
@@ -310,17 +340,25 @@ def box_admm_solve(
     R = solver.rhos.shape[0]
     if state is None:
         state = box_initial_state(solver)
-
-    with jax.default_matmul_precision("highest"):
-        vth_all = solver.V_theta @ theta  # (R, nbox), hoisted
+    # Single-rung fast path (fixed rho): static operator indexing keeps
+    # the iteration a SHARED-weight matvec under vmap. With R > 1 the
+    # per-lane rung index turns the matvec into a per-lane batched
+    # matmul in vmapped Monte-Carlo use -- measurably slower at large
+    # B; prefer a fixed rho there (the saturated closed loop lives on
+    # one rung anyway) and keep the ladder for interactive/generic use.
+    static_rung = R == 1
 
     inf = jnp.asarray(jnp.inf, dtype=dtype)
 
     def chunk_body(carry):
         s, w, idx, it, _, _ = carry
-        vc = solver.v_c[idx] + vth_all[idx]
-        Vs = solver.V_s[idx]
-        rho = solver.rhos[idx]
+        op_i = 0 if static_rung else idx
+        with jax.default_matmul_precision("highest"):
+            # Only the active rung's theta map (the full-ladder matvec
+            # would do R x the work per solve in the closed-loop scan).
+            vc = solver.v_c[op_i] + solver.V_theta[op_i] @ theta
+        Vs = solver.V_s[op_i]
+        rho = solver.rhos[op_i]
 
         def body(_, c):
             s, w, _, _ = c
@@ -344,6 +382,8 @@ def box_admm_solve(
         # magnitude, dual by the unscaled multiplier |y| = rho*|w|. The
         # scaled dual rescales by rho_old/rho_new on a rung change (y
         # is rho-invariant).
+        if static_rung:
+            return (s, w, idx, it + chunk, r_prim, r_dual)
         tiny = jnp.asarray(1e-12, dtype=dtype)
         r_p_rel = r_prim / jnp.maximum(
             jnp.maximum(jnp.max(jnp.abs(s)), jnp.max(jnp.abs(w))), tiny
@@ -370,6 +410,11 @@ def box_admm_solve(
         u = solver.u_c[idx] + solver.U_theta[idx] @ theta + (
             solver.U_s[idx] @ t
         )
+        # Hard-feasibility projection: if a capped solve exits before
+        # convergence, the raw z-step iterate's bounded input rows can
+        # overshoot by up to the primal residual -- never command an
+        # input outside the actuator box.
+        u = jnp.clip(u, solver.u_lo, solver.u_hi)
         tt = jnp.concatenate([theta, t])
         cost = (
             tt @ (solver.cost_P[idx] @ tt)

@@ -243,6 +243,14 @@ def main() -> None:
             f"Starting {ctype} Data-Driven MPC control system simulation "
             f"({args.engine} engine)"
         )
+    if (
+        (args.u_min is not None or args.u_max is not None)
+        and args.engine != "fused"
+    ):
+        raise SystemExit(
+            "--u_min/--u_max require --engine fused (the box-ADMM "
+            "solver runs in the generic scan engine)."
+        )
     if args.engine in ("fused", "linear", "pallas"):
         import jax.numpy as jnp
 
