@@ -559,6 +559,11 @@ def run_config(config: str) -> dict:
         f"[{engine_name} engine]")
     assert bool(ok), "non-finite or non-converged lanes"
 
+    if engine_name == "pallas" and config != "large_plant":
+        # The mixed-precision kernel's per-rollout dropped to ~30 ms at
+        # B=262144 (~15 ms long_horizon), so R=16 left the ~55 ms relay
+        # constant at 11-19% of the timed wall; R=32 halves that.
+        R_big = 32
     tm = time_amortized(run, args, R_small=1, R_big=R_big)
     solves = B * T * R_big
     solves_per_s = solves / tm["t_big"]

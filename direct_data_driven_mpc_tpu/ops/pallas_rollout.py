@@ -34,6 +34,20 @@ Design (round 3 -- measured against the round-2 kernel):
    costs instead of ``(BB, K*n_theta)`` thetas: the post-pass and the
    theta stack's HBM round trip disappear entirely.
 
+3. **Mixed-precision cost channel** (``cost_precision="high"``, the
+   default). The cost-feature columns (``Z`` + ``q``-part) are ~70% of
+   the fused matmul's MACs but feed only the per-solve cost
+   diagnostic, not the <1e-4 u-deviation budget -- so they run as an
+   explicit 3-pass bf16 decomposition (Mosaic does not lower
+   ``Precision.HIGH``) while the parity-bound columns (state carry, u,
+   y) stay at HIGHEST, bit-identical to the all-HIGHEST kernel. The
+   segment sum runs as two bf16 passes that are exact (0/1 matrix).
+   ~1.9x fewer MXU passes; see ``_COST_PRECISIONS`` below and
+   docs/PERF.md. (Measured dead end: dropping the one-shot u/y
+   emission columns to bf16_3x as well deviates 2.2e-4 on the golden
+   configs -- the condensed operator's cancellation makes
+   sum|a||b| >> |result| -- so u/y stay at HIGHEST.)
+
 All column segments of ``G`` are zero-padded to 128-lane boundaries so
 every in-kernel slice is tile-aligned (no relayouts on the write path).
 Per grid step only ONE time block of noise/outputs is resident, so VMEM
@@ -282,11 +296,48 @@ def pick_batch_block(
     )
 
 
+#: Precision of the COST-FEATURE columns (``Z = L^T theta`` and the
+#: linear ``q``-part) of the fused matmul -- ~70% of the kernel's MXU
+#: work on the headline shape. The parity-bound outputs (state carry,
+#: u, y) ALWAYS run at HIGHEST (bf16_6x): the carry's error compounds
+#: over the recursion and the u/y columns feed the <1e-4 north-star
+#: budget directly (measured: even one-shot bf16_3x u-emission costs
+#: 2.2e-4 on the golden configs -- the condensed operator's
+#: cancellation makes sum|a||b| >> |result|). The cost channel is a
+#: per-solve DIAGNOSTIC, so it tolerates bf16_3x. Mosaic does not
+#: lower ``jax.lax.Precision.HIGH``, so the kernel implements the
+#: 3-pass scheme explicitly: ``a @ b ~= a_hi@b_hi + a_hi@b_lo +
+#: a_lo@b_hi`` with ``x_hi = bf16(x)``, ``x_lo = bf16(x - x_hi)``
+#: (the dropped ``a_lo@b_lo`` term is O(2^-16) relative). The cost
+#: segment-sum runs as TWO bf16 passes that are EXACT: the 0/1 matrix
+#: ``Seg`` is exactly representable in bf16, so ``zz @ Seg ==
+#: zz_hi@Seg + zz_lo@Seg`` up to f32 accumulation. Net: ~1.9x fewer
+#: MXU passes, identical u/y math, cost accuracy ~1e-4 relative
+#: (measured; see docs/PERF.md "Mixed-precision cost channel").
+_COST_PRECISIONS = ("highest", "high")
+
+
+def _check_cost_precision(name: str) -> None:
+    if name not in _COST_PRECISIONS:
+        raise ValueError(
+            f"cost_precision must be one of {sorted(_COST_PRECISIONS)}, "
+            f"got {name!r}"
+        )
+
+
+def _bf16_split(x):
+    """(hi, lo) bf16 pair with ``hi + lo ~= x`` (error O(2^-18) rel)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def make_pallas_rollout(
     block_map: AffineBlockMap,
     n_outer: int,
     batch_block: int = 256,
     interpret: bool = False,
+    cost_precision: str = "high",
 ):
     """Build the jitted fused-rollout kernel.
 
@@ -298,12 +349,18 @@ def make_pallas_rollout(
     """
     fused = _build_fused_operator(block_map)
     return jax.jit(
-        _make_rollout_from_fused(fused, n_outer, batch_block, interpret)
+        _make_rollout_from_fused(
+            fused, n_outer, batch_block, interpret, cost_precision
+        )
     )
 
 
 def _make_rollout_from_fused(
-    fused, n_outer: int, batch_block: int, interpret: bool
+    fused,
+    n_outer: int,
+    batch_block: int,
+    interpret: bool,
+    cost_precision: str = "high",
 ):
     """Kernel maker from a prebuilt fused operator (trace-safe: no host
     numpy -- callable from inside an enclosing jit)."""
@@ -317,6 +374,9 @@ def _make_rollout_from_fused(
     OFF3 = W0 + W1 + W2
     OFF4 = W0 + W1 + W2 + W3
 
+    _check_cost_precision(cost_precision)
+    split = cost_precision != "highest"
+
     def dot(a, b):
         return jax.lax.dot_general(
             a,
@@ -324,6 +384,14 @@ def _make_rollout_from_fused(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def dot1(a, b):  # one native bf16 MXU pass, f32 accumulation
+        return jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     def kernel(
@@ -358,6 +426,61 @@ def _make_rollout_from_fused(
         def _():
             sfin_ref[:] = s_next
 
+    def kernel_split(
+        Gp_ref,  # (nw+S, W0+W1+W2) f32: state/u/y columns, HIGHEST
+        Zhi_ref, Zlo_ref,  # (nw+S, W3+W4) bf16: cost-feature columns
+        bias_ref,  # (Wtot,) f32
+        Seg_ref,  # (W3, W4) bf16 (0/1: exact)
+        s0_ref, W_ref, U_ref, Y_ref, C_ref, sfin_ref, s_scr,
+    ):
+        t = pl.program_id(1)
+        n_t = pl.num_programs(1)
+
+        @pl.when(t == 0)
+        def _():
+            s_scr[:] = s0_ref[:]
+
+        sw = jnp.concatenate([W_ref[0], s_scr[:]], axis=1)
+        # Parity-bound columns (state carry, u, y) at HIGHEST.
+        out = dot(sw, Gp_ref[:]) + bias_ref[:OFF3]
+        s_next = out[:, :S]
+        U_ref[0] = out[:, OFF1 : OFF1 + Ku]
+        Y_ref[0] = out[:, OFF2 : OFF2 + Kp]
+        # Cost-feature columns via the explicit 3-pass bf16 scheme
+        # (module docstring): three native-bf16 MXU passes vs
+        # HIGHEST's six.
+        sw_hi, sw_lo = _bf16_split(sw)
+        zq = (
+            dot1(sw_hi, Zhi_ref[:])
+            + dot1(sw_hi, Zlo_ref[:])
+            + dot1(sw_lo, Zhi_ref[:])
+            + bias_ref[OFF3:]
+        )
+        z = zq[:, :W3]
+        # Seg is 0/1 (exact in bf16): two passes reproduce the f32
+        # segment sum exactly up to accumulation order.
+        zz_hi, zz_lo = _bf16_split(z * z)
+        C_ref[0] = (
+            dot1(zz_hi, Seg_ref[:])
+            + dot1(zz_lo, Seg_ref[:])
+            + zq[:, W3 : W3 + W4]
+        )[:, :K]
+        s_scr[:] = s_next
+
+        @pl.when(t == n_t - 1)
+        def _():
+            sfin_ref[:] = s_next
+
+    if split:
+        G_par = G[:, :OFF3]
+        Z_hi, Z_lo = _bf16_split(G[:, OFF3:])
+        Seg_bf = Seg.astype(jnp.bfloat16)
+        operators = (G_par, Z_hi, Z_lo, bias, Seg_bf)
+        kern_fn = kernel_split
+    else:
+        operators = (G, bias, Seg)
+        kern_fn = kernel
+
     op_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def run(s0_batch, W_packed):
@@ -377,7 +500,7 @@ def _make_rollout_from_fused(
             jax.ShapeDtypeStruct((n_outer, B, K), jnp.float32),
             jax.ShapeDtypeStruct((B, S), jnp.float32),
         )
-        in_specs = [op_spec] * 3 + [
+        in_specs = [op_spec] * len(operators) + [
             bspec((batch_block, S), lambda b, t: (b, 0)),
             bspec((1, batch_block, nw), lambda b, t: (t, b, 0)),
         ]
@@ -388,7 +511,7 @@ def _make_rollout_from_fused(
             bspec((batch_block, S), lambda b, t: (b, 0)),
         )
         return pl.pallas_call(
-            kernel,
+            kern_fn,
             grid=grid,
             out_shape=out_shapes,
             in_specs=in_specs,
@@ -397,15 +520,19 @@ def _make_rollout_from_fused(
                 pltpu.VMEM((batch_block, S), jnp.float32),
             ],
             interpret=interpret,
-        )(G, bias, Seg, s0_batch, W_packed)
+        )(*operators, s0_batch, W_packed)
 
     return run
 
 
-def _make_xla_rollout_from_fused(fused, n_outer: int):
+def _make_xla_rollout_from_fused(
+    fused, n_outer: int, cost_precision: str = "high"
+):
     """Pure-XLA twin of the Pallas kernel: the SAME fused operator and
     in-scan cost evaluation, as one ``lax.scan`` whose per-iteration
-    body is one batched MXU matmul. Same ``run(s0, W_packed) ->
+    body is one batched MXU matmul -- two when ``cost_precision="high"``
+    splits the cost-feature columns out at explicit bf16_3x (the same
+    mixed-precision scheme as the kernel). Same ``run(s0, W_packed) ->
     (U, Y, C, s_fin)`` contract as :func:`_make_rollout_from_fused`.
 
     Kept as (a) the measured baseline isolating the Pallas carry's
@@ -417,14 +544,46 @@ def _make_xla_rollout_from_fused(fused, n_outer: int):
     W0, W1, W2, W3, W4 = dims["widths"]
     OFF1, OFF2 = W0, W0 + W1
     OFF3, OFF4 = W0 + W1 + W2, W0 + W1 + W2 + W3
+    _check_cost_precision(cost_precision)
+    split = cost_precision != "highest"
+    HI = jax.lax.Precision.HIGHEST
+    if split:
+        G_par = G[:, :OFF3]
+        Z_hi, Z_lo = _bf16_split(G[:, OFF3:])
+        Seg_bf = Seg.astype(jnp.bfloat16)
+
+    def mm1(a, b):  # one native bf16 pass, f32 accumulation
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     def run(s0_batch, W_packed):
         def step(s, w):
-            with jax.default_matmul_precision("highest"):
-                sw = jnp.concatenate([w, s], axis=1)
-                out = sw @ G + bias
+            sw = jnp.concatenate([w, s], axis=1)
+            if split:
+                # Same mixed-precision scheme as the kernel:
+                # parity-bound columns (carry, u, y) at HIGHEST, cost
+                # features via explicit bf16_3x, exact 2-pass segment
+                # sum (module docstring).
+                out = jnp.matmul(sw, G_par, precision=HI) + bias[:OFF3]
+                sw_hi, sw_lo = _bf16_split(sw)
+                zq = (
+                    mm1(sw_hi, Z_hi)
+                    + mm1(sw_hi, Z_lo)
+                    + mm1(sw_lo, Z_hi)
+                    + bias[OFF3:]
+                )
+                z = zq[:, :W3]
+                zz_hi, zz_lo = _bf16_split(z * z)
+                seg_sum = mm1(zz_hi, Seg_bf) + mm1(zz_lo, Seg_bf)
+                qpart = zq[:, W3 : W3 + W4]
+            else:
+                out = jnp.matmul(sw, G, precision=HI) + bias
                 z = out[:, OFF3 : OFF3 + W3]
-                C = ((z * z) @ Seg + out[:, OFF4 : OFF4 + W4])[:, :K]
+                seg_sum = jnp.matmul(z * z, Seg, precision=HI)
+                qpart = out[:, OFF4 : OFF4 + W4]
+            C = (seg_sum + qpart)[:, :K]
             return out[:, :S], (
                 out[:, OFF1 : OFF1 + Ku],
                 out[:, OFF2 : OFF2 + Kp],
@@ -474,6 +633,7 @@ def make_fused_batched_rollout(
     batch_block: int | None = None,
     interpret: bool = False,
     backend: str = "pallas",
+    cost_precision: str = "high",
 ):
     """Build a trace-safe batched fused rollout.
 
@@ -482,7 +642,12 @@ def make_fused_batched_rollout(
     host numpy and is safe to call inside ``jit``/``shard_map``
     (parallel/mesh.py wraps it per data shard). ``backend="xla"`` runs
     the fused-operator rollout as a plain ``lax.scan`` instead of the
-    Pallas kernel (same math, same outputs)."""
+    Pallas kernel (same math, same outputs). ``cost_precision``
+    ("high" default, "highest" opt-out) sets the matmul precision of
+    the per-solve COST channel only (explicit bf16_3x); the state
+    carry and the u/y trajectories always run at HIGHEST and are
+    bit-identical across the two modes (see the module constant
+    ``_COST_PRECISIONS`` and docs/PERF.md)."""
     import math
 
     from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
@@ -506,13 +671,16 @@ def make_fused_batched_rollout(
             steps_per_outer, pad,
         )
         if backend == "xla":
-            kern = _make_xla_rollout_from_fused(fused, n_outer)
+            kern = _make_xla_rollout_from_fused(
+                fused, n_outer, cost_precision=cost_precision
+            )
         else:
             bb = batch_block
             if bb is None:
                 bb = pick_batch_block(block_map, B)
             kern = _make_rollout_from_fused(
-                fused, n_outer, batch_block=bb, interpret=interpret
+                fused, n_outer, batch_block=bb, interpret=interpret,
+                cost_precision=cost_precision,
             )
         U, Y, C, s_fin = kern(s0, W_packed)
         s_fin = s_fin + block_map.s_star[None, :]
@@ -548,6 +716,7 @@ def pallas_batched_rollout(
     batch_block: int | None = None,
     interpret: bool = False,
     backend: str = "pallas",
+    cost_precision: str = "high",
 ):
     """Convenience wrapper matching ``make_linear_batched_rollout``\'s
     result contract (returns a ClosedLoopResult). ``batch_block=None``
@@ -557,6 +726,7 @@ def pallas_batched_rollout(
     return make_fused_batched_rollout(
         block_map, n_steps, n_mpc_step=n_mpc_step,
         batch_block=batch_block, interpret=interpret, backend=backend,
+        cost_precision=cost_precision,
     )(x0s, u_pasts, y_pasts, Ws)
 
 
@@ -567,6 +737,7 @@ def make_amortized_pallas_run(
     batch_block: int | None = None,
     interpret: bool = False,
     backend: str = "pallas",
+    cost_precision: str = "high",
 ):
     """Amortized-throughput harness for the kernel (same contract as
     ``bench.make_amortized_linear_run``): one jitted call runs ``R``
@@ -596,13 +767,16 @@ def make_amortized_pallas_run(
     def run(x0s, u_pasts, y_pasts, Ws, R):
         B = x0s.shape[0]
         if backend == "xla":
-            kernel = _make_xla_rollout_from_fused(fused, n_outer)
+            kernel = _make_xla_rollout_from_fused(
+                fused, n_outer, cost_precision=cost_precision
+            )
         else:
             bb = batch_block
             if bb is None:
                 bb = pick_batch_block(block_map, B)
             kernel = _make_rollout_from_fused(
-                fused, n_outer, batch_block=bb, interpret=interpret
+                fused, n_outer, batch_block=bb, interpret=interpret,
+                cost_precision=cost_precision,
             )
         s0, W_packed = _center_and_pack(
             block_map, x0s, u_pasts, y_pasts, Ws, n_outer,

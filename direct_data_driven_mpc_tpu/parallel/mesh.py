@@ -214,6 +214,7 @@ def make_sharded_fused_rollout(
     backend: str = "pallas",
     batch_block: Optional[int] = None,
     interpret: bool = False,
+    cost_precision: str = "high",
 ):
     """Fused-operator rollout (Pallas kernel or its XLA scan twin,
     ops/pallas_rollout.py) data-parallel over the mesh via
@@ -239,6 +240,7 @@ def make_sharded_fused_rollout(
     local_rollout = make_fused_batched_rollout(
         block_map, n_steps, n_mpc_step=n_mpc_step,
         batch_block=batch_block, interpret=interpret, backend=backend,
+        cost_precision=cost_precision,
     )
 
     result_specs = ClosedLoopResult(

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """TPU sweep harness for the fused-rollout Pallas kernel.
 
-Usage: python scripts/sweep_pallas.py <K> <B> [batch_block] [T] [R] [backend]
+Usage: python scripts/sweep_pallas.py <K> <B> [batch_block] [T] [R] [backend] [cost_precision]
 
 Runs ONE kernel configuration (one compile per process -- the remote
 compile tunnel is slow and variable; see CLAUDE.md) with the amortized
@@ -27,6 +27,7 @@ def main() -> None:
     T = int(sys.argv[4]) if len(sys.argv) > 4 else 400
     R = int(sys.argv[5]) if len(sys.argv) > 5 else 16
     backend = sys.argv[6] if len(sys.argv) > 6 else "pallas"
+    cost_precision = sys.argv[7] if len(sys.argv) > 7 else "high"
 
     import jax
     import jax.numpy as jnp
@@ -82,7 +83,8 @@ def main() -> None:
     )
     noise = draw_noise_batch(jax.random.key(0), B, T, p, 0.002, dtype=dtype)
     run = make_amortized_pallas_run(
-        bm, n_steps=T, batch_block=bb or None, backend=backend
+        bm, n_steps=T, batch_block=bb or None, backend=backend,
+        cost_precision=cost_precision,
     )
     args = (x0s, ups, yps, noise)
 

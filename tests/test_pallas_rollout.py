@@ -73,7 +73,68 @@ def test_pallas_kernel_matches_linear_engine(n_steps, K):
     np.testing.assert_allclose(
         np.asarray(xla_twin.y_sys), np.asarray(ref.y_sys), atol=2e-5
     )
+    # rtol 1e-3: the default cost channel is bf16_3x (accumulation
+    # order differs between the kernel grid and the scan twin).
     np.testing.assert_allclose(
-        np.asarray(xla_twin.costs), np.asarray(res.costs), rtol=1e-4,
+        np.asarray(xla_twin.costs), np.asarray(res.costs), rtol=1e-3,
         atol=1e-6,
     )
+
+
+def test_cost_precision_split_path_matches_fused():
+    """The mixed-precision cost channel (parity-bound columns at
+    HIGHEST, cost-feature columns via the explicit bf16_3x
+    decomposition, ops/pallas_rollout.py) must leave u/y/state
+    BIT-IDENTICAL (same HIGHEST dot over the same columns) and keep
+    costs within the bf16_3x error bound, in both the interpreted
+    kernel and the XLA twin. Locks the offset arithmetic and the hi/lo
+    operand decomposition of the split path."""
+    plant, ctrl, rng = _make_setup(n_mpc_step=1)
+    bm = build_affine_block_map(
+        plant.as_params(), ctrl._op, n=4, m=2, p=2,
+        solves_per_block=8, dtype=jnp.float32,
+    )
+    B, n_steps = 16, 40
+    x0s = jnp.tile(
+        jnp.asarray(plant.get_state(), jnp.float32)[None], (B, 1)
+    )
+    ups = jnp.tile(
+        jnp.asarray(ctrl.u_past.reshape(4, 2), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    yps = jnp.tile(
+        jnp.asarray(ctrl.y_past.reshape(4, 2), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    Ws = jnp.asarray(
+        0.002 * rng.uniform(-1, 1, (B, n_steps, 2)), jnp.float32
+    )
+    for backend in ("pallas", "xla"):
+        kw = (
+            dict(batch_block=8, interpret=True)
+            if backend == "pallas"
+            else {}
+        )
+        fused = pallas_batched_rollout(
+            bm, x0s, ups, yps, Ws, n_steps=n_steps, backend=backend,
+            cost_precision="highest", **kw,
+        )
+        split = pallas_batched_rollout(
+            bm, x0s, ups, yps, Ws, n_steps=n_steps, backend=backend,
+            cost_precision="high", **kw,
+        )
+        for field in ("u_sys", "y_sys", "x_final"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(split, field)),
+                np.asarray(getattr(fused, field)),
+                err_msg=f"{backend}:{field}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(split.costs), np.asarray(fused.costs),
+            rtol=1e-3, atol=1e-5, err_msg=f"{backend}:costs",
+        )
+    with pytest.raises(ValueError, match="cost_precision"):
+        pallas_batched_rollout(
+            bm, x0s, ups, yps, Ws, n_steps=n_steps, backend="xla",
+            cost_precision="bfloat16",
+        )
