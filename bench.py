@@ -40,6 +40,9 @@ headline config-4 metric unless a config is selected):
                                       # penalty-ladder ADMM (qp/box.py)
     python bench.py pallas            # the Pallas fused-rollout kernel
                                       # on the four-tank workload
+    python bench.py tracking          # time-varying setpoint schedule
+                                      # through the fused kernel
+                                      # (tracking-condensed engine)
 
 Prints exactly one JSON line on stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -366,6 +369,137 @@ def run_convex_config(nonconvex: bool = False, box: bool = False) -> dict:
     }
 
 
+def run_tracking_config() -> dict:
+    """Time-varying setpoint tracking through the fused kernel: the
+    four-tank headline shape with a per-block setpoint schedule riding
+    the input lanes (control/linear_engine.py tracking channel). The
+    reference retargets only by re-running its whole init pipeline per
+    setpoint change; here the schedule costs ~m+p extra operand lanes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from direct_data_driven_mpc_tpu.control.linear_engine import (
+        build_tracking_engine,
+    )
+    from direct_data_driven_mpc_tpu.models.lti_model import LTIModel
+    from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
+        make_amortized_pallas_run,
+        make_fused_batched_rollout,
+        suggest_solves_per_block,
+    )
+    from direct_data_driven_mpc_tpu.parallel.batch import draw_noise_batch
+
+    B, T = 262144, 400
+    n, m, p, N, L = 4, 2, 2, 400, 30
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    plant_model = LTIModel(
+        A=np.array(
+            [
+                [0.921, 0, 0.041, 0],
+                [0, 0.918, 0, 0.033],
+                [0, 0, 0.924, 0],
+                [0, 0, 0, 0.937],
+            ]
+        ),
+        B=np.array(
+            [[0.017, 0.001], [0.001, 0.023], [0, 0.061], [0.072, 0]]
+        ),
+        C=np.array([[1.0, 0, 0, 0], [0, 1, 0, 0]]),
+        D=np.zeros((2, 2)),
+        eps_max=0.002,
+    )
+    u_s = np.array([[1.0], [1.0]])
+    y_s = np.array([[0.65], [0.77]])
+    ctrl = _controller(N, L, plant_model, rng, n, m, p, u_s, y_s)
+    K = suggest_solves_per_block(n, n, m, p, n_steps=T, n_r=m + p)
+    t0 = time.perf_counter()
+    bm_t = build_tracking_engine(
+        ctrl, plant_model.as_params(), solves_per_block=K, dtype=dtype
+    )
+    log(f"device: {jax.devices()[0]}; config: four_tank_tracking; "
+        f"B={B}, T={T}, K={K} (+{bm_t.n_r} setpoint lanes); tracking "
+        f"block map composed in {time.perf_counter() - t0:.2f}s")
+
+    import math
+
+    n_outer = math.ceil(T / K)
+    r0 = np.concatenate([u_s.ravel(), y_s.ravel()])
+    # 4-phase retarget schedule: alternate the paper setpoint and a
+    # 0.85x operating point every 2 outer blocks (~100 steps/phase).
+    sched = jnp.asarray(
+        np.stack(
+            [r0 if (i // 2) % 2 == 0 else 0.85 * r0
+             for i in range(n_outer)]
+        ),
+        dtype,
+    )
+
+    x0s = jnp.tile(
+        jnp.asarray(plant_model.get_state(), dtype)[None], (B, 1)
+    )
+    ups = jnp.tile(
+        jnp.asarray(ctrl.u_past.reshape(n, m), dtype)[None], (B, 1, 1)
+    )
+    yps = jnp.tile(
+        jnp.asarray(ctrl.y_past.reshape(n, p), dtype)[None], (B, 1, 1)
+    )
+    Ws = draw_noise_batch(jax.random.key(0), B, T, p, 0.002, dtype=dtype)
+
+    def make_run(backend):
+        return make_amortized_pallas_run(
+            bm_t, n_steps=T, backend=backend, setpoints=sched
+        )
+
+    engine = "pallas"
+    run = make_run("pallas")
+    t0 = time.perf_counter()
+    try:
+        checksum, ok = run(x0s, ups, yps, Ws, 1)
+        _ = float(checksum)
+    except Exception as e:  # noqa: BLE001
+        log(f"Pallas kernel failed ({e!r}); falling back to the XLA "
+            "fused twin.")
+        engine = "xla"
+        run = make_run("xla")
+        t0 = time.perf_counter()
+        checksum, ok = run(x0s, ups, yps, Ws, 1)
+        _ = float(checksum)
+    log(f"compile + first run (R=1): {time.perf_counter() - t0:.2f}s "
+        f"[{engine} engine]")
+    assert bool(ok)
+
+    # Correctness probe on a small slice: the retarget must bite (late
+    # outputs near the 0.85x target at the end of a low phase).
+    probe = jax.jit(
+        make_fused_batched_rollout(bm_t, n_steps=T, backend="xla")
+    )(x0s[:8], ups[:8], yps[:8], Ws[:8], sched)
+    y_end = np.asarray(probe.y_sys[:, -1])  # schedule ends in a low phase
+    assert np.abs(y_end - 0.85 * r0[2:]).max() < 0.05, y_end
+    log(f"retarget probe: y(T)={y_end[0]} vs target {0.85 * r0[2:]}")
+
+    R_big = 32
+    tm = time_amortized(run, (x0s, ups, yps, Ws), R_small=1, R_big=R_big)
+    solves_per_s = B * T * R_big / tm["t_big"]
+    log(f"amortized: R=1 {tm['t_small']:.3f}s, R={R_big} "
+        f"{tm['t_big']:.3f}s -> per-rollout {tm['per_rep']:.3f}s, relay "
+        f"{tm['per_call_overhead'] * 1e3:.0f} ms "
+        f"({tm['overhead_frac_of_big'] * 100:.1f}% of wall)")
+    log(f"{B * T * R_big} tracked solves -> {solves_per_s:,.0f} "
+        f"solves/s/chip (on-device {B * T / tm['per_rep']:,.0f})")
+    theta = np.concatenate(
+        [ctrl.u_past.reshape(-1), ctrl.y_past.reshape(-1)]
+    )
+    baseline = measure_baseline_single_core(ctrl.spec, theta)
+    return {
+        "metric": "closed_loop_qp_solves_per_s_per_chip_four_tank_tracking",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / baseline, 1),
+    }
+
+
 def run_config(config: str) -> dict:
     import jax
     import jax.numpy as jnp
@@ -381,6 +515,9 @@ def run_config(config: str) -> dict:
         return run_convex_config(nonconvex=True)
     if config == "four_tank_box":
         return run_convex_config(box=True)
+
+    if config == "tracking":
+        return run_tracking_config()
 
     use_pallas = config in ("pallas", "pallas_large")
     if config == "pallas":

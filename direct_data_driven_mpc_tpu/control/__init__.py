@@ -12,6 +12,7 @@ from direct_data_driven_mpc_tpu.control.linear_engine import (
     AffineBlockMap,
     build_affine_block_map,
     build_linear_engine,
+    build_tracking_engine,
     closed_loop_spectrum,
     linear_closed_loop_rollout,
     make_linear_batched_rollout,
@@ -36,6 +37,7 @@ __all__ = [
     "AffineBlockMap",
     "build_affine_block_map",
     "build_linear_engine",
+    "build_tracking_engine",
     "closed_loop_spectrum",
     "linear_closed_loop_rollout",
     "make_linear_batched_rollout",

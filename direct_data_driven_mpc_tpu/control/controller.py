@@ -342,6 +342,25 @@ class DirectDataDrivenMPCController:
             self._spec, dtype=dtype or jnp.float32
         )
 
+    def tracking_operator(self) -> dict:
+        """The float64 setpoint-parametric operator dict (slack-NONE
+        paths): the public entry for the TRACKING condensed engine
+        (``control.linear_engine.build_tracking_engine`` /
+        ``build_affine_block_map(..., tracking_op=...)``). Keys:
+        ``U_theta, U_r, cost_P, u_s, y_s, ...`` (see
+        ``qp.solution_map.compute_tracking_operator_np``)."""
+        from direct_data_driven_mpc_tpu.qp.solution_map import (
+            compute_tracking_operator_np,
+        )
+
+        if self._use_admm or self._use_nonconvex:
+            raise ValueError(
+                "CONVEX/NON_CONVEX slack controllers do not condense to "
+                "an affine operator; tracking schedules need a "
+                "slack-NONE controller."
+            )
+        return compute_tracking_operator_np(self._spec)
+
     def admm_solver(self, dtype=None) -> ADMMSolver:
         """Device-resident ADMM operator (CONVEX slack paths)."""
         import jax.numpy as jnp

@@ -70,10 +70,17 @@ class AffineBlockMap(NamedTuple):
     OsS_T: jax.Array
     os_c: jax.Array
     OsW_T: jax.Array
-    cost_P: jax.Array  # (n_theta, n_theta)
-    cost_q: jax.Array  # (n_theta,)
+    cost_P: jax.Array  # (n_theta [+ n_r], n_theta [+ n_r])
+    cost_q: jax.Array  # (n_theta [+ n_r],)
     cost_r: jax.Array  # ()
     s_star: jax.Array  # (S,) center point (zeros when center=False)
+    #: Setpoint-channel width (static). 0 = plain map. When > 0 the
+    #: LAST ``n_r`` rows of every ``*W_T`` operator act on the
+    #: setpoint DELTA ``dr = [u_s; y_s] - r_bar`` (one dr per block,
+    #: appended to the flattened block noise), and the cost quadratic
+    #: is joint in ``[theta; dr]``. Built by ``tracking_op=`` below.
+    n_r: int = 0
+    r_bar: Optional[jax.Array] = None  # (m+p,) center setpoints
 
 
 def build_affine_block_map(
@@ -86,6 +93,7 @@ def build_affine_block_map(
     solves_per_block: int = 1,
     center: bool = True,
     dtype=jnp.float32,
+    tracking_op: Optional[dict] = None,
 ) -> AffineBlockMap:
     """Compose ``solves_per_block`` Algorithm-1/2 solve blocks into one
     affine map (host, float64).
@@ -99,6 +107,16 @@ def build_affine_block_map(
         n_mpc_step: plant steps per QP solve (Algorithm 2).
         solves_per_block: QP solves composed per scan iteration.
         dtype: device dtype of the emitted operator.
+        tracking_op: optional float64 dict from
+            ``compute_tracking_operator_np`` (qp/solution_map.py).
+            When given, the map gains a SETPOINT input channel: the
+            last ``n_r = m + p`` rows of every ``*W_T`` operator act on
+            the block's setpoint delta ``dr = [u_s; y_s] - r_bar``
+            (``r_bar`` = the spec's baked setpoints), the cost
+            quadratic becomes joint in ``[theta; dr]``, and the fused
+            engines accept a per-block setpoint schedule. ``dr = 0``
+            reduces exactly to the plain map (asserted at build time
+            in float64).
     """
     from direct_data_driven_mpc_tpu.qp.solution_map import (
         _check_dtype_supported,
@@ -115,7 +133,11 @@ def build_affine_block_map(
     nb = n_mpc_step
     K = solves_per_block
     nw = K * nb * p
-    Dfull = S + 1 + nw  # homogeneous coordinates [s; 1; w_block]
+    n_r = (m + p) if tracking_op is not None else 0
+    # Homogeneous coordinates [s; 1; w_block; dr]: the setpoint delta
+    # enters as extra input lanes appended to the block noise, so the
+    # whole composition below is oblivious to it.
+    Dfull = S + 1 + nw + n_r
 
     # Row-operator representation: each tracked quantity is a matrix
     # acting on [s; 1; w].
@@ -135,6 +157,26 @@ def build_affine_block_map(
         )
     U_gain = solution_op["U_gain"][: nb * m]  # (nb*m, n_theta)
     u_base = solution_op["u_base"][: nb * m]
+    if tracking_op is not None:
+        U_r = np.asarray(tracking_op["U_r"], np.float64)[: nb * m]
+        r_bar = np.concatenate(
+            [
+                np.asarray(tracking_op["u_s"], np.float64),
+                np.asarray(tracking_op["y_s"], np.float64),
+            ]
+        )
+        # Consistency: the baked affine solve IS the tracking solve at
+        # r_bar (the tracking operator has no constant term).
+        u_base_chk = (
+            np.asarray(tracking_op["U_r"], np.float64) @ r_bar
+        )[: nb * m]
+        if not np.allclose(u_base_chk, u_base, atol=1e-9):
+            raise AssertionError(
+                "tracking operator is inconsistent with the baked "
+                "solution operator at the spec's own setpoints"
+            )
+        DR = np.zeros((n_r, Dfull))
+        DR[:, S + 1 + nw :] = np.eye(n_r)
 
     out_u = np.zeros((K * nb * m, Dfull))
     out_y = np.zeros((K * nb * p, Dfull))
@@ -143,6 +185,8 @@ def build_affine_block_map(
         # State at this solve time (pre-solve), for post-hoc costs.
         out_s[k * S : (k + 1) * S] = np.concatenate([X, TH], axis=0)
         USEQ = U_gain @ TH + np.outer(u_base, ONE)
+        if tracking_op is not None:
+            USEQ = USEQ + U_r @ DR
         for j in range(nb):
             t = k * nb + j
             Uj = USEQ[j * m : (j + 1) * m]  # (m, Dfull)
@@ -183,6 +227,36 @@ def build_affine_block_map(
     else:
         s_star = np.zeros(S)
 
+    if tracking_op is not None:
+        # Joint cost in zeta = [theta; dr]: with xi = [theta; r_bar+dr]
+        # and cost(xi) = xi' P xi, cost(zeta) = zeta' P zeta +
+        # (2 P e).zeta + e'Pe, e = [0_theta; r_bar]. At dr = 0 this is
+        # exactly the baked theta-space cost (asserted).
+        P_j = np.asarray(tracking_op["cost_P"], np.float64)
+        e = np.concatenate([np.zeros(n_theta), r_bar])
+        q_j = 2.0 * (P_j @ e)
+        r_j = float(e @ P_j @ e)
+        if not (
+            np.allclose(
+                P_j[:n_theta, :n_theta], solution_op["cost_P"],
+                atol=1e-9,
+            )
+            and np.allclose(
+                q_j[:n_theta], solution_op["cost_q"], atol=1e-9
+            )
+            and abs(r_j - float(solution_op["cost_r"])) < 1e-7
+        ):
+            raise AssertionError(
+                "joint tracking cost does not reduce to the baked "
+                "theta-space cost at dr = 0"
+            )
+        cost_P, cost_q, cost_r = P_j, q_j, np.float64(r_j)
+    else:
+        r_bar = None
+        cost_P = solution_op["cost_P"]
+        cost_q = solution_op["cost_q"]
+        cost_r = solution_op["cost_r"]
+
     cast = lambda a: jnp.asarray(a, dtype=dtype)
     return AffineBlockMap(
         M_T=cast(M_.T),
@@ -197,10 +271,12 @@ def build_affine_block_map(
         OsS_T=cast(OsS.T),
         os_c=cast(os_c),
         OsW_T=cast(OsW.T),
-        cost_P=cast(solution_op["cost_P"]),
-        cost_q=cast(solution_op["cost_q"]),
-        cost_r=cast(solution_op["cost_r"]),
+        cost_P=cast(cost_P),
+        cost_q=cast(cost_q),
+        cost_r=cast(cost_r),
         s_star=cast(s_star),
+        n_r=n_r,
+        r_bar=None if r_bar is None else cast(r_bar),
     )
 
 
@@ -232,6 +308,41 @@ DirectDataDrivenMPCController` (slack-NONE variants).
         solves_per_block=solves_per_block,
         center=center,
         dtype=dtype,
+    )
+
+
+def build_tracking_engine(
+    controller,
+    plant: LTIParams,
+    n_mpc_step: Optional[int] = None,
+    solves_per_block: int = 1,
+    center: bool = True,
+    dtype=jnp.float32,
+) -> AffineBlockMap:
+    """Condensed engine WITH a setpoint input channel: time-varying
+    reference tracking through the fused engines at full throughput.
+
+    The returned map's ``n_r = m + p`` and the fused rollouts accept a
+    ``setpoints`` schedule (one ``[u_s; y_s]`` row per outer block of
+    ``solves_per_block * n_mpc_step`` plant steps; per-scenario
+    schedules batch on a leading axis). For per-SOLVE granularity use
+    the generic loop with ``controller.tracking_map()``. The reference
+    retargets only by re-running its entire init pipeline per setpoint
+    change (ref direct_data_driven_mpc_controller.py:945-982).
+    """
+    if n_mpc_step is None:
+        n_mpc_step = controller.n_mpc_step
+    return build_affine_block_map(
+        plant,
+        controller.solution_operator(),
+        n=controller.n,
+        m=controller.m,
+        p=controller.p,
+        n_mpc_step=n_mpc_step,
+        solves_per_block=solves_per_block,
+        center=center,
+        dtype=dtype,
+        tracking_op=controller.tracking_operator(),
     )
 
 
@@ -271,6 +382,22 @@ def _block_meta(block_map: AffineBlockMap, m: int, p: int):
     return S, K, nb
 
 
+def _reject_tracking_map(block_map: AffineBlockMap, where: str) -> None:
+    """The classic condensed paths evaluate costs from the emitted
+    theta stack alone; a tracking map's joint [theta; dr] cost needs
+    the setpoint lanes too. Those maps run on the fused engines
+    (ops/pallas_rollout.py, which thread the dr lanes through), or on
+    the generic loop with a TrackingMap."""
+    if getattr(block_map, "n_r", 0):
+        raise NotImplementedError(
+            f"{where} does not support tracking block maps "
+            "(tracking_op=...); use the fused engines "
+            "(pallas_batched_rollout / make_fused_batched_rollout with "
+            "a `setpoints` schedule) or the generic loop with "
+            "controller.tracking_map()."
+        )
+
+
 def linear_closed_loop_rollout(
     block_map: AffineBlockMap,
     x0: jax.Array,
@@ -300,6 +427,7 @@ def linear_closed_loop_rollout(
     outputs (returned empty) and emits only per-solve costs + final
     state -- the Monte-Carlo aggregate mode.
     """
+    _reject_tracking_map(block_map, "linear_closed_loop_rollout")
     m = u_past.shape[1]
     p = y_past.shape[1]
     dtype = block_map.M_T.dtype
@@ -439,6 +567,7 @@ def time_parallel_rollout(
     depth reduction. Exact same trajectories as the sequential engine
     (tests/test_time_parallel.py).
     """
+    _reject_tracking_map(block_map, "time_parallel_rollout")
     m = u_past.shape[1]
     p = y_past.shape[1]
     dtype = block_map.M_T.dtype
@@ -544,6 +673,7 @@ def make_linear_batched_rollout(
     scan iteration is one ``(B, S + K nw)``-by-``(S + K nw, outputs)``
     MXU matmul covering K solves.
     """
+    _reject_tracking_map(block_map, "make_linear_batched_rollout")
 
     def run(x0s, u_pasts, y_pasts, noise):
         def one(x0, up, yp, nz):

@@ -91,15 +91,17 @@ def build_theta_operator(block_map: AffineBlockMap, ns: int):
 
 def suggest_solves_per_block(
     ns: int, n: int, m: int, p: int, n_mpc_step: int = 1,
-    n_steps: int | None = None,
+    n_steps: int | None = None, n_r: int = 0,
 ) -> int:
     """Largest ``solves_per_block`` whose fused operand ``[w | s]``
-    stays within one 128-lane tile of contraction (``K*nb*p + S <=
-    128``), preferring a K that divides the rollout's outer block count
-    evenly (no padded time steps). The kernel is correct for any K;
-    this is the measured performance sweet spot (docs/PERF.md)."""
+    stays within one 128-lane tile of contraction (``K*nb*p + n_r + S
+    <= 128``; ``n_r = m + p`` for tracking maps, whose setpoint delta
+    rides the input lanes), preferring a K that divides the rollout's
+    outer block count evenly (no padded time steps). The kernel is
+    correct for any K; this is the measured performance sweet spot
+    (docs/PERF.md)."""
     S = ns + n * (m + p)
-    K = max((128 - S) // (n_mpc_step * p), 1)
+    K = max((128 - S - n_r) // (n_mpc_step * p), 1)
     if n_steps:
         spb = n_mpc_step * p  # noise lanes per solve
         for cand in range(K, 0, -1):
@@ -128,8 +130,9 @@ def _build_fused_operator(block_map: AffineBlockMap):
     M_T = np.asarray(block_map.M_T, f64)
     N_T = np.asarray(block_map.N_T, f64)
     S = M_T.shape[0]
-    nw = N_T.shape[0]
-    n_theta = block_map.cost_P.shape[0]
+    nw = N_T.shape[0]  # noise lanes (+ n_r setpoint-delta lanes)
+    n_r = getattr(block_map, "n_r", 0) or 0
+    n_theta = block_map.cost_P.shape[0] - n_r
     ns = S - n_theta
     OtS_T, otc, OtW_T, K = build_theta_operator(block_map, ns)
     OtS_T = np.asarray(OtS_T, f64)
@@ -137,7 +140,28 @@ def _build_fused_operator(block_map: AffineBlockMap):
     OtW_T = np.asarray(OtW_T, f64)
     Ku = block_map.ou_c.shape[0]
     Kp = block_map.oy_c.shape[0]
-    Kt = K * n_theta
+
+    # Cost-feature coordinates per solve: xi_k = [theta_k] for plain
+    # maps, xi_k = [theta_k; dr] for tracking maps -- the dr lanes are
+    # the LAST n_r rows of the W channel (linear_engine.py).
+    nxi = n_theta + n_r
+    Kt = K * nxi
+    if n_r:
+        def expand(Ot, rows):
+            Oxi = np.zeros((rows, Kt))
+            view = Oxi.reshape(rows, K, nxi)
+            view[:, :, :n_theta] = Ot.reshape(rows, K, n_theta)
+            return Oxi
+
+        OxiS_T = expand(OtS_T, S)
+        OxiW_T = expand(OtW_T, nw)
+        OxiW_T.reshape(nw, K, nxi)[nw - n_r :, :, n_theta:] = np.eye(
+            n_r
+        )[:, None, :]
+        xic = np.zeros(Kt)
+        xic.reshape(K, nxi)[:, :n_theta] = otc.reshape(K, n_theta)
+    else:
+        OxiS_T, OxiW_T, xic = OtS_T, OtW_T, otc
 
     # Factor the PSD cost quadratic form: P = L L^T (clip tiny negative
     # eigenvalues from float rounding).
@@ -147,20 +171,20 @@ def _build_fused_operator(block_map: AffineBlockMap):
     q = np.asarray(block_map.cost_q, f64)
     r = float(block_map.cost_r)
 
-    # Z operator: theta_k -> L^T theta_k, i.e. columns of the theta
-    # operator transformed per-solve-block by L.
+    # Z operator: xi_k -> L^T xi_k, i.e. columns of the xi operator
+    # transformed per-solve-block by L.
     def blockwise_L(Ot):  # (rows, Kt) -> (rows, Kt)
         rows = Ot.shape[0]
-        return (Ot.reshape(rows, K, n_theta) @ L).reshape(rows, Kt)
+        return (Ot.reshape(rows, K, nxi) @ L).reshape(rows, Kt)
 
-    OzS_T = blockwise_L(OtS_T)
-    OzW_T = blockwise_L(OtW_T)
-    zc = (otc.reshape(K, n_theta) @ L).reshape(Kt)
+    OzS_T = blockwise_L(OxiS_T)
+    OzW_T = blockwise_L(OxiW_T)
+    zc = (xic.reshape(K, nxi) @ L).reshape(Kt)
 
-    # Linear cost part per solve: q . theta_k (+ r folded into bias).
-    OqS_T = OtS_T.reshape(S, K, n_theta) @ q  # (S, K)
-    OqW_T = OtW_T.reshape(nw, K, n_theta) @ q  # (nw, K)
-    qc = otc.reshape(K, n_theta) @ q + r
+    # Linear cost part per solve: q . xi_k (+ r folded into bias).
+    OqS_T = OxiS_T.reshape(S, K, nxi) @ q  # (S, K)
+    OqW_T = OxiW_T.reshape(nw, K, nxi) @ q  # (nw, K)
+    qc = xic.reshape(K, nxi) @ q + r
 
     widths = [_ceil128(S), _ceil128(Ku), _ceil128(Kp), _ceil128(Kt),
               _ceil128(K)]
@@ -203,7 +227,7 @@ def _build_fused_operator(block_map: AffineBlockMap):
     )
     Seg = np.zeros((widths[3], widths[4]))
     for k in range(K):
-        Seg[k * n_theta : (k + 1) * n_theta, k] = 1.0
+        Seg[k * nxi : (k + 1) * nxi, k] = 1.0
 
     dims = {
         "S": S, "nw": nw, "Ku": Ku, "Kp": Kp, "K": K,
@@ -242,9 +266,9 @@ def pallas_vmem_bytes(block_map: AffineBlockMap, batch_block: int) -> int:
     nw = block_map.N_T.shape[0]
     Ku = block_map.ou_c.shape[0]
     Kp = block_map.oy_c.shape[0]
-    n_theta = block_map.cost_P.shape[0]
+    nxi = block_map.cost_P.shape[0]  # n_theta (+ n_r for tracking)
     K = block_map.os_c.shape[0] // S
-    Kt = K * n_theta
+    Kt = K * nxi
     widths = [_ceil128(S), _ceil128(Ku), _ceil128(Kp), _ceil128(Kt),
               _ceil128(K)]
     Wtot = sum(widths)
@@ -597,11 +621,19 @@ def _make_xla_rollout_from_fused(
 
 
 def _center_and_pack(block_map, x0s, u_pasts, y_pasts, Ws, n_outer,
-                     steps_per_outer, pad):
+                     steps_per_outer, pad, setpoints=None):
     """Shared host->kernel input prep: centered initial state stack and
-    the (n_outer, B, nw)-packed noise."""
+    the (n_outer, B, nw)-packed noise.
+
+    For tracking maps (``block_map.n_r > 0``) a ``setpoints`` schedule
+    is required: ``(n_r,)`` constant, ``(n_outer, n_r)`` per-block, or
+    ``(B, n_outer, n_r)`` per-scenario-per-block absolute setpoints
+    ``[u_s; y_s]``; the centered delta ``dr = r - r_bar`` is appended
+    to each block's noise lanes.
+    """
     B = x0s.shape[0]
     p = y_pasts.shape[2]
+    n_r = getattr(block_map, "n_r", 0) or 0
     s0 = (
         jnp.concatenate(
             [
@@ -623,7 +655,32 @@ def _center_and_pack(block_map, x0s, u_pasts, y_pasts, Ws, n_outer,
     W_packed = W_pad.reshape(B, n_outer, steps_per_outer * p).transpose(
         1, 0, 2
     )
-    return s0, W_packed
+    if n_r == 0:
+        if setpoints is not None:
+            raise ValueError(
+                "`setpoints` requires a tracking block map (build with "
+                "tracking_op=... / build_tracking_engine)."
+            )
+        return s0, W_packed
+    if setpoints is None:
+        raise ValueError(
+            "tracking block map (n_r > 0) requires a `setpoints` "
+            "schedule: (n_r,), (n_outer, n_r) or (B, n_outer, n_r)."
+        )
+    R = jnp.asarray(setpoints, jnp.float32)
+    if R.ndim == 1:
+        R = jnp.broadcast_to(R[None, None], (n_outer, B, n_r))
+    elif R.ndim == 2:
+        R = jnp.broadcast_to(R[:, None, :], (n_outer, B, n_r))
+    elif R.ndim == 3:
+        R = R.transpose(1, 0, 2)
+    if R.shape != (n_outer, B, n_r):
+        raise ValueError(
+            f"setpoints must broadcast to (n_outer={n_outer}, B={B}, "
+            f"n_r={n_r}); got {jnp.asarray(setpoints).shape}"
+        )
+    dr = R - block_map.r_bar[None, None, :]
+    return s0, jnp.concatenate([W_packed, dr], axis=2)
 
 
 def make_fused_batched_rollout(
@@ -647,13 +704,21 @@ def make_fused_batched_rollout(
     the per-solve COST channel only (explicit bf16_3x); the state
     carry and the u/y trajectories always run at HIGHEST and are
     bit-identical across the two modes (see the module constant
-    ``_COST_PRECISIONS`` and docs/PERF.md)."""
+    ``_COST_PRECISIONS`` and docs/PERF.md).
+
+    For tracking maps (``build_tracking_engine``) call the returned
+    function as ``run(x0s, u_pasts, y_pasts, Ws, setpoints)`` with a
+    per-outer-block setpoint schedule (see :func:`_center_and_pack`);
+    time-varying reference tracking runs at full fused-engine
+    throughput (the setpoint delta is ~``m+p`` extra input lanes)."""
     import math
 
     from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
 
     S = block_map.M_T.shape[0]
-    n_theta = block_map.cost_P.shape[0]
+    n_theta = block_map.cost_P.shape[0] - (
+        getattr(block_map, "n_r", 0) or 0
+    )
     ns = S - n_theta
     K = block_map.os_c.shape[0] // S
     steps_per_outer = K * n_mpc_step
@@ -662,13 +727,13 @@ def make_fused_batched_rollout(
     pad = n_outer * steps_per_outer - n_steps
     fused = _build_fused_operator(block_map)
 
-    def run(x0s, u_pasts, y_pasts, Ws):
+    def run(x0s, u_pasts, y_pasts, Ws, setpoints=None):
         B = x0s.shape[0]
         m = u_pasts.shape[2]
         p = y_pasts.shape[2]
         s0, W_packed = _center_and_pack(
             block_map, x0s, u_pasts, y_pasts, Ws, n_outer,
-            steps_per_outer, pad,
+            steps_per_outer, pad, setpoints=setpoints,
         )
         if backend == "xla":
             kern = _make_xla_rollout_from_fused(
@@ -717,17 +782,19 @@ def pallas_batched_rollout(
     interpret: bool = False,
     backend: str = "pallas",
     cost_precision: str = "high",
+    setpoints: jax.Array | None = None,
 ):
     """Convenience wrapper matching ``make_linear_batched_rollout``\'s
     result contract (returns a ClosedLoopResult). ``batch_block=None``
     auto-sizes the block to the VMEM budget. ``backend="xla"`` runs the
     fused-operator rollout as a plain ``lax.scan`` instead of the
-    Pallas kernel (same math, same outputs)."""
+    Pallas kernel (same math, same outputs). ``setpoints``: per-block
+    schedule for tracking maps (see :func:`_center_and_pack`)."""
     return make_fused_batched_rollout(
         block_map, n_steps, n_mpc_step=n_mpc_step,
         batch_block=batch_block, interpret=interpret, backend=backend,
         cost_precision=cost_precision,
-    )(x0s, u_pasts, y_pasts, Ws)
+    )(x0s, u_pasts, y_pasts, Ws, setpoints=setpoints)
 
 
 def make_amortized_pallas_run(
@@ -738,11 +805,14 @@ def make_amortized_pallas_run(
     interpret: bool = False,
     backend: str = "pallas",
     cost_precision: str = "high",
+    setpoints: jax.Array | None = None,
 ):
     """Amortized-throughput harness for the kernel (same contract as
     ``bench.make_amortized_linear_run``): one jitted call runs ``R``
     back-to-back kernel rollouts, R a traced fori_loop trip count.
     ``backend="xla"`` times the fused-operator scan twin instead.
+    ``setpoints``: per-block schedule for tracking maps (fixed across
+    repetitions; the rolled noise already varies the work).
 
     Repetition ``i`` rotates the packed noise by ``i`` outer blocks (a
     distinct bounded-noise realization per rep; nothing CSE-able) and
@@ -780,7 +850,7 @@ def make_amortized_pallas_run(
             )
         s0, W_packed = _center_and_pack(
             block_map, x0s, u_pasts, y_pasts, Ws, n_outer,
-            steps_per_outer, pad,
+            steps_per_outer, pad, setpoints=setpoints,
         )
 
         def one_rep(i, carry):

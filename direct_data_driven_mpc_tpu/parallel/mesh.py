@@ -236,6 +236,12 @@ def make_sharded_fused_rollout(
         make_fused_batched_rollout,
     )
 
+    if getattr(block_map, "n_r", 0):
+        raise NotImplementedError(
+            "make_sharded_fused_rollout does not take a setpoint "
+            "schedule yet; shard_map the per-shard fused rollout "
+            "yourself or use the unsharded tracking engine."
+        )
     # Host-side operator assembly happens outside the traced region.
     local_rollout = make_fused_batched_rollout(
         block_map, n_steps, n_mpc_step=n_mpc_step,

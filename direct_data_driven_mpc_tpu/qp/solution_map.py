@@ -243,6 +243,10 @@ def compute_tracking_operator_np(spec: QPSpec) -> dict:
         "Z": Z,
         "feasible": feasible,
         "primal_residual_gain": res_gain,
+        # The spec's baked setpoints: the reference point r_bar the
+        # tracking-condensed engine centers its dr channel on.
+        "u_s": np.asarray(spec.u_s, np.float64),
+        "y_s": np.asarray(spec.y_s, np.float64),
     }
 
 
