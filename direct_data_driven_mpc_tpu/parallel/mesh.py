@@ -231,17 +231,19 @@ def make_sharded_fused_rollout(
     ``__graft_entry__.dryrun_multichip`` exercises on virtual CPU
     meshes, where Mosaic kernels cannot compile (``interpret=True``
     works but is orders of magnitude slower).
+
+    Tracking maps (``block_map.n_r > 0``): call the returned function
+    as ``run(x0s, u_pasts, y_pasts, Ws, setpoints)`` with a
+    PER-SCENARIO schedule ``(B, n_outer, n_r)`` -- it shards over
+    ``data`` like the other scenario arrays (broadcast a shared
+    schedule to the batch axis yourself first; scenarios stay
+    host-local per SURVEY.md section 5, so no collective is added).
     """
     from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
         make_fused_batched_rollout,
     )
 
-    if getattr(block_map, "n_r", 0):
-        raise NotImplementedError(
-            "make_sharded_fused_rollout does not take a setpoint "
-            "schedule yet; shard_map the per-shard fused rollout "
-            "yourself or use the unsharded tracking engine."
-        )
+    tracking = bool(getattr(block_map, "n_r", 0))
     # Host-side operator assembly happens outside the traced region.
     local_rollout = make_fused_batched_rollout(
         block_map, n_steps, n_mpc_step=n_mpc_step,
@@ -261,16 +263,20 @@ def make_sharded_fused_rollout(
     )
     out_specs = (result_specs, {"mean_final_cost": P(),
                                 "frac_converged": P()})
+    in_specs = (P("data"),) * (5 if tracking else 4)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,
     )
-    def sharded(x0s, u_pasts, y_pasts, Ws):
-        result = local_rollout(x0s, u_pasts, y_pasts, Ws)
+    def sharded(x0s, u_pasts, y_pasts, Ws, *setpoints):
+        result = local_rollout(
+            x0s, u_pasts, y_pasts, Ws,
+            setpoints=setpoints[0] if setpoints else None,
+        )
         local_b = result.costs.shape[0]
         tot_b = jax.lax.psum(jnp.float32(local_b), "data")
         tot_cost = jax.lax.psum(jnp.sum(result.costs[:, -1]), "data")
@@ -286,6 +292,17 @@ def make_sharded_fused_rollout(
         }
         return result, metrics
 
+    if tracking:
+        def run(x0s, u_pasts, y_pasts, Ws, setpoints):
+            R = jnp.asarray(setpoints)
+            if R.ndim != 3:
+                raise ValueError(
+                    "sharded tracking rollouts need a per-scenario "
+                    f"(B, n_outer, n_r) schedule; got shape {R.shape}"
+                )
+            return sharded(x0s, u_pasts, y_pasts, Ws, R)
+
+        return jax.jit(run)
     return jax.jit(sharded)
 
 

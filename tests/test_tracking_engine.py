@@ -182,3 +182,40 @@ def test_validation(setup):
         make_linear_batched_rollout(bm_t, n_steps=T)
     # The kernel sweet-spot helper accounts for the setpoint lanes.
     assert suggest_solves_per_block(4, 4, 2, 2, n_r=4) == (128 - 24) // 2
+
+
+def test_sharded_tracking_rollout_matches_unsharded(setup):
+    """The tracking engine under shard_map over 8 virtual devices: a
+    per-scenario schedule shards over `data` with the other scenario
+    arrays and reproduces the unsharded fused rollout."""
+    from direct_data_driven_mpc_tpu.parallel.mesh import (
+        make_scenario_mesh,
+        make_sharded_fused_rollout,
+    )
+
+    _, _, _, bm_t, _, batch, r0 = setup
+    x0s, ups, yps, Ws = batch
+    n_outer = T // K
+    scales = np.linspace(0.6, 1.0, B)
+    sched = jnp.asarray(
+        np.stack([np.tile(s * r0, (n_outer, 1)) for s in scales]),
+        jnp.float32,
+    )
+    # B=4 scenarios over 4 data shards (the conftest provides 8
+    # virtual devices; use a 4x1 mesh so B divides evenly).
+    mesh = make_scenario_mesh(n_data=4, n_model=1)
+    run = make_sharded_fused_rollout(
+        mesh, bm_t, n_steps=T, backend="xla"
+    )
+    res, metrics = run(x0s, ups, yps, Ws, sched)
+    ref = pallas_batched_rollout(
+        bm_t, x0s, ups, yps, Ws, n_steps=T, backend="xla",
+        setpoints=sched,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.u_sys), np.asarray(ref.u_sys), atol=2e-5
+    )
+    assert len(res.u_sys.sharding.device_set) == 4
+    assert float(metrics["frac_converged"]) == 1.0
+    with pytest.raises(ValueError, match="per-scenario"):
+        run(x0s, ups, yps, Ws, jnp.asarray(r0, jnp.float32))
