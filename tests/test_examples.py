@@ -278,3 +278,34 @@ def test_save_animation_gif_fallback(tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_setpoint_tracking_example_cli(monkeypatch, capsys, tmp_path):
+    """The tracking example drives the condensed tracking engine end to
+    end (staircase schedule, batch of scenarios, percentile figure)."""
+    import setpoint_tracking_example as ex
+
+    fig = tmp_path / "tracking.png"
+    out = _run_main(
+        ex,
+        [
+            "prog",
+            "--batch",
+            "16",
+            "--t_sim",
+            "60",
+            "--phases",
+            "3",
+            "--solves_per_block",
+            "10",
+            "--seed",
+            "0",
+            "--save_fig",
+            str(fig),
+        ],
+        monkeypatch,
+        capsys,
+    )
+    assert "Simulation finished" in out.out
+    assert "RMS tracking error" in out.out
+    assert fig.exists() and fig.stat().st_size > 0

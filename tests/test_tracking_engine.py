@@ -219,3 +219,45 @@ def test_sharded_tracking_rollout_matches_unsharded(setup):
     assert float(metrics["frac_converged"]) == 1.0
     with pytest.raises(ValueError, match="per-scenario"):
         run(x0s, ups, yps, Ws, jnp.asarray(r0, jnp.float32))
+
+
+def test_tracking_with_nstep_cadence():
+    """Algorithm 2 (n_mpc_step = n) with a setpoint schedule: the
+    tracking-condensed engine must match the generic TrackingMap loop
+    at the n-step solve cadence."""
+    plant, ctrl, rng = _make_setup(n_mpc_step=4)
+    plant_params = plant.as_params(dtype=np.float32)
+    Kn, Tn = 3, 48  # 3 solves/block x 4 steps/solve = 12 steps/block
+    bm_t = build_tracking_engine(
+        ctrl, plant_params, solves_per_block=Kn, dtype=jnp.float32
+    )
+    x0 = jnp.asarray(plant.get_state(), jnp.float32)
+    up = jnp.asarray(ctrl.u_past.reshape(4, 2), jnp.float32)
+    yp = jnp.asarray(ctrl.y_past.reshape(4, 2), jnp.float32)
+    Ws = jnp.asarray(
+        0.002 * rng.uniform(-1, 1, (1, Tn, 2)), jnp.float32
+    )
+    r0 = np.concatenate(
+        [np.asarray(ctrl.u_s).ravel(), np.asarray(ctrl.y_s).ravel()]
+    )
+    n_outer = Tn // (Kn * 4)
+    sched_blocks = np.stack(
+        [r0 if i < n_outer // 2 else 0.8 * r0 for i in range(n_outer)]
+    )
+    res = pallas_batched_rollout(
+        bm_t, x0[None], up[None], yp[None], Ws, n_steps=Tn,
+        n_mpc_step=4, backend="xla",
+        setpoints=jnp.asarray(sched_blocks, jnp.float32),
+    )
+    tm = ctrl.tracking_map(dtype=jnp.float32)
+    gen = closed_loop_rollout(
+        plant_params, tm, x0, up, yp, Ws[0], n_steps=Tn, n_mpc_step=4,
+        setpoints=jnp.asarray(np.repeat(sched_blocks, Kn, axis=0),
+                              jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.u_sys[0]), np.asarray(gen.u_sys), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.y_sys[0]), np.asarray(gen.y_sys), atol=2e-5
+    )
