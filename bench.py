@@ -61,21 +61,68 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_baseline_single_core(spec, theta, n_solves: int = 10) -> float:
+def measure_baseline_single_core(
+    spec, theta, n_solves: int = 10, n_trials: int = 5
+) -> float:
     """Single-core reference-style per-step work: rebuild + dense-solve
-    the full KKT system from scratch each step. Returns solves/s."""
+    the full KKT system from scratch each step. Returns solves/s.
+
+    Stabilized anchor (round 4): the raw 10-solve timing drifted +-30%
+    across rounds purely from host load (48 -> 73 solves/s in
+    BENCH_r01-r03), making ``vs_baseline`` incomparable. Now: BLAS
+    pinned to ONE thread (the anchor is defined as single-core work;
+    multi-threaded BLAS made it load-dependent), median over
+    ``n_trials`` independent timings, and the measurement context
+    (loadavg, trial spread) is logged to stderr AND written to
+    ``bench_anchor.json`` next to this script so rounds are comparable.
+    """
+    import os
+    import statistics
+
     nz, nc = spec.nz, spec.nc
-    t0 = time.perf_counter()
-    for _ in range(n_solves):
-        K = np.zeros((nz + nc, nz + nc))
-        K[:nz, :nz] = spec.H
-        K[:nz, nz:] = spec.A.T
-        K[nz:, :nz] = spec.A
-        rhs = np.concatenate([-spec.g, spec.b_const + spec.S @ theta])
-        z = np.linalg.solve(K + 1e-12 * np.eye(nz + nc), rhs)
-        _ = z[spec.u_pred_slice]
-    dt = time.perf_counter() - t0
-    return n_solves / dt
+
+    def one_trial() -> float:
+        t0 = time.perf_counter()
+        for _ in range(n_solves):
+            K = np.zeros((nz + nc, nz + nc))
+            K[:nz, :nz] = spec.H
+            K[:nz, nz:] = spec.A.T
+            K[nz:, :nz] = spec.A
+            rhs = np.concatenate(
+                [-spec.g, spec.b_const + spec.S @ theta]
+            )
+            z = np.linalg.solve(K + 1e-12 * np.eye(nz + nc), rhs)
+            _ = z[spec.u_pred_slice]
+        return n_solves / (time.perf_counter() - t0)
+
+    try:
+        from threadpoolctl import threadpool_limits
+
+        with threadpool_limits(limits=1):
+            one_trial()  # warmup (page-in, BLAS init)
+            rates = [one_trial() for _ in range(n_trials)]
+        pinned = True
+    except ImportError:  # pragma: no cover - threadpoolctl is baked in
+        one_trial()
+        rates = [one_trial() for _ in range(n_trials)]
+        pinned = False
+    anchor = float(statistics.median(rates))
+    ctx = {
+        "anchor_solves_per_s": round(anchor, 2),
+        "trials": [round(r, 2) for r in rates],
+        "n_solves_per_trial": n_solves,
+        "blas_single_thread": pinned,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "kkt_dim": nz + nc,
+    }
+    log(f"baseline anchor context: {json.dumps(ctx)}")
+    try:
+        path = os.path.join(os.path.dirname(__file__), "bench_anchor.json")
+        with open(path, "w") as f:
+            json.dump(ctx, f, indent=1)
+    except OSError:
+        pass
+    return anchor
 
 
 def make_amortized_linear_run(bm, n_steps, eps_max, emit_traj):

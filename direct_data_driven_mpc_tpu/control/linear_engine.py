@@ -212,18 +212,50 @@ def build_affine_block_map(
     OsS, os_c, OsW = split(out_s)
 
     if center:
-        # Re-center on the closed-loop fixed point s* = M s* + c (the
-        # loop is stabilizing, so I - M is invertible). Rolling the
-        # DEVIATION e = s - s* removes the large-magnitude constant
-        # from every f32 add: e decays toward the noise floor instead
-        # of cancelling against O(setpoint)-sized coordinates, which
+        # Re-center on the closed-loop fixed point s* = M s* + c (for a
+        # stabilizing loop I - M is invertible). Rolling the DEVIATION
+        # e = s - s* removes the large-magnitude constant from every
+        # f32 add: e decays toward the noise floor instead of
+        # cancelling against O(setpoint)-sized coordinates, which
         # measurably tightens float32 steady-state accuracy. The
         # constants fold into the output offsets exactly (float64).
-        s_star = np.linalg.solve(np.eye(S) - M_, c_)
+        #
+        # Robustness guard: with a closed-loop eigenvalue near 1 (e.g.
+        # an uncontrolled integrator mode, or the UCON scheme) I - M is
+        # (near-)singular and the fixed-point solve produces a huge or
+        # non-finite s* -- then the f32 deviation rollout LOSES exactly
+        # the accuracy centering was meant to buy (e = s - s* is a
+        # catastrophic cancellation of two huge numbers). Detect that
+        # and fall back to the uncentered map with a warning.
+        IM = np.eye(S) - M_
+        cond_IM = np.linalg.cond(IM)
+        if np.isfinite(cond_IM) and cond_IM < 1e8:
+            s_star = np.linalg.solve(IM, c_)
+        else:
+            s_star = np.full(S, np.nan)
+        # Scale guard: even a moderately conditioned solve can return
+        # an s* so large that f32 deviations underflow the signal.
+        s_scale = 1.0 + float(np.abs(c_).max(initial=0.0))
+        if not (
+            np.all(np.isfinite(s_star))
+            and float(np.abs(s_star).max(initial=0.0)) < 1e6 * s_scale
+        ):
+            import warnings
+
+            warnings.warn(
+                "closed-loop fixed point is ill-conditioned "
+                f"(cond(I - M) = {cond_IM:.2e}); centering disabled -- "
+                "the loop has an eigenvalue at/near 1 (marginally "
+                "stable or unstable scheme). Rolling absolute "
+                "coordinates instead.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            s_star = np.zeros(S)
         ou_c = ou_c + OuS @ s_star
         oy_c = oy_c + OyS @ s_star
         os_c = os_c + OsS @ s_star
-        c_ = np.zeros(S)
+        c_ = c_ - (s_star - M_ @ s_star)
     else:
         s_star = np.zeros(S)
 

@@ -97,3 +97,90 @@ def test_linear_engine_batched():
         np.testing.assert_allclose(
             np.asarray(batch.u_sys[b]), np.asarray(single.u_sys), atol=1e-12
         )
+
+
+def _integrator_setup(a_diag: float):
+    """Synthetic 1-state plant + zero-gain 'controller': the condensed
+    closed loop is the open-loop plant + window shift, so its spectral
+    radius equals ``a_diag`` -- an eigenvalue at/near 1 makes I - M
+    (near-)singular, the centering robustness edge (VERDICT round-3
+    weak #6)."""
+    from direct_data_driven_mpc_tpu.ops.lti import LTIParams
+
+    plant = LTIParams(
+        A=np.array([[a_diag]]),
+        B=np.array([[1.0]]),
+        C=np.array([[1.0]]),
+        D=np.array([[0.0]]),
+    )
+    n_theta = 2  # n=1, m=1, p=1
+    op = {
+        # Zero feedback, constant input 0.5: the integrator drifts, so
+        # no closed-loop fixed point exists.
+        "U_gain": np.zeros((2, n_theta)),
+        "u_base": np.full(2, 0.5),
+        "cost_P": np.eye(n_theta),
+        "cost_q": np.zeros(n_theta),
+        "cost_r": np.float64(0.0),
+    }
+    return plant, op
+
+
+@pytest.mark.parametrize("a_diag", [1.0, 1.0 - 1e-7])
+def test_centering_falls_back_near_integrator(a_diag):
+    """cond(I - M) blows up (exact integrator) or s* is absurdly large
+    (near-integrator): centering must disable itself with a warning and
+    produce the SAME map as center=False."""
+    plant, op = _integrator_setup(a_diag)
+    with pytest.warns(RuntimeWarning, match="centering disabled"):
+        bm_c = build_affine_block_map(
+            plant, op, n=1, m=1, p=1, dtype=jnp.float64
+        )
+    bm_u = build_affine_block_map(
+        plant, op, n=1, m=1, p=1, center=False, dtype=jnp.float64
+    )
+    assert float(jnp.abs(bm_c.s_star).max()) == 0.0
+    for f_c, f_u in zip(bm_c, bm_u):
+        if f_c is None or isinstance(f_c, int):
+            assert f_c == f_u
+            continue
+        np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_u))
+
+
+def test_centering_fallback_f32_rollout_budget():
+    """The f32 rollout on the (fallen-back) centered map stays within
+    the 1e-4 budget of the exact f64 rollout -- the failure mode the
+    guard prevents is exactly this accuracy loss."""
+    plant, op = _integrator_setup(1.0)
+    n_steps = 50
+    rng = np.random.default_rng(0)
+    W = 0.002 * rng.uniform(-1, 1, (n_steps, 1))
+    x0 = np.array([0.3])
+    up = np.array([[0.1]])
+    yp = np.array([[0.2]])
+    outs = {}
+    for dtype in (jnp.float64, jnp.float32):
+        with pytest.warns(RuntimeWarning, match="centering disabled"):
+            bm = build_affine_block_map(
+                plant, op, n=1, m=1, p=1, dtype=dtype
+            )
+        outs[dtype] = linear_closed_loop_rollout(
+            bm,
+            jnp.asarray(x0, dtype),
+            jnp.asarray(up, dtype),
+            jnp.asarray(yp, dtype),
+            jnp.asarray(W, dtype),
+            n_steps=n_steps,
+        )
+    du = np.abs(
+        np.asarray(outs[jnp.float32].u_sys, np.float64)
+        - np.asarray(outs[jnp.float64].u_sys)
+    ).max()
+    dy = np.abs(
+        np.asarray(outs[jnp.float32].y_sys, np.float64)
+        - np.asarray(outs[jnp.float64].y_sys)
+    ).max()
+    assert du < 1e-4 and dy < 1e-4, (du, dy)
+    # The drift really happened (the loop is marginally stable, state
+    # grows ~0.5/step): the test exercises large-magnitude f32 adds.
+    assert float(np.asarray(outs[jnp.float64].y_sys)[-1]) > 5.0
