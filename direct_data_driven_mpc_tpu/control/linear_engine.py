@@ -414,20 +414,45 @@ def _block_meta(block_map: AffineBlockMap, m: int, p: int):
     return S, K, nb
 
 
-def _reject_tracking_map(block_map: AffineBlockMap, where: str) -> None:
-    """The classic condensed paths evaluate costs from the emitted
-    theta stack alone; a tracking map's joint [theta; dr] cost needs
-    the setpoint lanes too. Those maps run on the fused engines
-    (ops/pallas_rollout.py, which thread the dr lanes through), or on
-    the generic loop with a TrackingMap."""
-    if getattr(block_map, "n_r", 0):
-        raise NotImplementedError(
-            f"{where} does not support tracking block maps "
-            "(tracking_op=...); use the fused engines "
-            "(pallas_batched_rollout / make_fused_batched_rollout with "
-            "a `setpoints` schedule) or the generic loop with "
-            "controller.tracking_map()."
+def _setpoint_deltas(
+    block_map: AffineBlockMap,
+    setpoints,
+    n_outer: int,
+    dtype,
+    where: str,
+) -> jax.Array:
+    """Validate a setpoint schedule against the map's tracking channel
+    and return the per-outer-block deltas ``dr = r - r_bar``.
+
+    Plain maps (``n_r == 0``) return a zero-width ``(n_outer, 0)``
+    array (inert lanes); tracking maps require ``setpoints`` as a
+    constant ``(n_r,)`` vector or an ``(n_outer, n_r)`` per-block
+    schedule of absolute setpoints ``[u_s; y_s]``.
+    """
+    n_r = getattr(block_map, "n_r", 0) or 0
+    if n_r == 0:
+        if setpoints is not None:
+            raise ValueError(
+                f"{where}: `setpoints` schedules require a tracking "
+                "block map (build with tracking_op=... / "
+                "build_tracking_engine)."
+            )
+        return jnp.zeros((n_outer, 0), dtype=dtype)
+    if setpoints is None:
+        raise ValueError(
+            f"{where}: tracking block map (n_r > 0) requires a "
+            f"`setpoints` schedule: ({n_r},) constant or "
+            f"({n_outer}, {n_r}) per outer block."
         )
+    R = jnp.asarray(setpoints, dtype=dtype)
+    if R.ndim == 1:
+        R = jnp.broadcast_to(R[None], (n_outer, n_r))
+    if R.shape != (n_outer, n_r):
+        raise ValueError(
+            f"{where}: setpoints must have shape ({n_r},) or "
+            f"({n_outer}, {n_r}); got {jnp.asarray(setpoints).shape}"
+        )
+    return R - jnp.asarray(block_map.r_bar, dtype=dtype)[None]
 
 
 def linear_closed_loop_rollout(
@@ -442,6 +467,7 @@ def linear_closed_loop_rollout(
     eps_max: float = 0.0,
     emit_trajectories: bool = True,
     precision: str = "highest",
+    setpoints: Optional[jax.Array] = None,
 ) -> ClosedLoopResult:
     """Rollout via the condensed affine recursion (single scenario; wrap
     in ``vmap`` for batches). Interface-compatible with
@@ -458,14 +484,18 @@ def linear_closed_loop_rollout(
     ``emit_trajectories=False`` skips the per-step ``u_sys``/``y_sys``
     outputs (returned empty) and emits only per-solve costs + final
     state -- the Monte-Carlo aggregate mode.
+
+    ``setpoints`` (tracking maps, ``block_map.n_r > 0``): absolute
+    ``[u_s; y_s]`` schedule, constant ``(n_r,)`` or per-outer-block
+    ``(n_outer, n_r)``; the centered delta rides the last ``n_r``
+    input lanes and the per-solve cost is the joint ``[theta; dr]``
+    quadratic (same semantics as the fused engines).
     """
-    _reject_tracking_map(block_map, "linear_closed_loop_rollout")
     m = u_past.shape[1]
     p = y_past.shape[1]
     dtype = block_map.M_T.dtype
     S, K, nb = _block_meta(block_map, m, p)
     ns = S - u_past.size - y_past.size
-    n_theta = S - ns
     assert nb == n_mpc_step, (
         f"block map built for n_mpc_step={nb}, called with {n_mpc_step}"
     )
@@ -475,6 +505,11 @@ def linear_closed_loop_rollout(
     n_outer = math.ceil(n_steps / steps_per_outer)
     pad = n_outer * steps_per_outer - n_steps
 
+    DR = _setpoint_deltas(
+        block_map, setpoints, n_outer, dtype,
+        "linear_closed_loop_rollout",
+    )
+
     if W is not None:
         W_pad = jnp.concatenate(
             [
@@ -483,11 +518,11 @@ def linear_closed_loop_rollout(
             ],
             axis=0,
         ).reshape(n_outer, steps_per_outer * p)
-        xs = W_pad
+        xs = (W_pad, DR)
     else:
         if noise_key is None:
             raise ValueError("Provide either W or noise_key.")
-        xs = jnp.arange(n_outer)
+        xs = (jnp.arange(n_outer), DR)
 
     # Roll the deviation e = s - s_star (s_star is zero when the map
     # was built uncentered); emitted outputs are absolute either way.
@@ -503,16 +538,20 @@ def linear_closed_loop_rollout(
     )
 
     def block(s, x):
+        x_w, dr = x
         if W is not None:
-            w = x
+            w = x_w
         else:
             w = eps_max * jax.random.uniform(
-                jax.random.fold_in(noise_key, x),
+                jax.random.fold_in(noise_key, x_w),
                 (steps_per_outer * p,),
                 minval=-1.0,
                 maxval=1.0,
                 dtype=dtype,
             )
+        # Tracking maps: the setpoint delta rides the LAST n_r input
+        # lanes of the W channel (inert zero-width concat otherwise).
+        w = jnp.concatenate([w, dr])
         # Full-f32 matmul precision by default: the TPU's plain-bf16
         # pass visibly drifts 400-step recursions. "highest" (bf16_6x)
         # is the parity-safe default; "high" (bf16_3x) is an opt-in
@@ -524,12 +563,15 @@ def linear_closed_loop_rollout(
             )
             # Per-solve costs computed in-block from the theta rows of
             # the solve-time states (keeps the emitted outputs small).
+            # Tracking maps: joint [theta; dr] quadratic (dr is shared
+            # by every solve of the block).
             thetas = st.reshape(K, S)[:, ns:]
+            xi = jnp.concatenate(
+                [thetas, jnp.tile(dr[None], (K, 1))], axis=1
+            )
             costs_k = (
-                jnp.einsum(
-                    "ti,ij,tj->t", thetas, block_map.cost_P, thetas
-                )
-                + thetas @ block_map.cost_q
+                jnp.einsum("ti,ij,tj->t", xi, block_map.cost_P, xi)
+                + xi @ block_map.cost_q
                 + block_map.cost_r
             )
             s_next = s @ block_map.M_T + block_map.c + w @ block_map.N_T
@@ -580,6 +622,7 @@ def time_parallel_rollout(
     W: jax.Array,
     n_steps: int,
     n_mpc_step: int = 1,
+    setpoints: Optional[jax.Array] = None,
 ) -> ClosedLoopResult:
     """Whole-trajectory rollout in O(log T) depth via associative scan.
 
@@ -598,8 +641,12 @@ def time_parallel_rollout(
     (S = 20 for the four-tank benchmark) traded for a T/log2(T)-fold
     depth reduction. Exact same trajectories as the sequential engine
     (tests/test_time_parallel.py).
+
+    ``setpoints``: tracking-map schedule, same contract as
+    :func:`linear_closed_loop_rollout` -- the setpoint deltas are just
+    more input lanes, so the associative-scan condensation is
+    oblivious to them.
     """
-    _reject_tracking_map(block_map, "time_parallel_rollout")
     m = u_past.shape[1]
     p = y_past.shape[1]
     dtype = block_map.M_T.dtype
@@ -611,10 +658,20 @@ def time_parallel_rollout(
     n_outer = math.ceil(n_steps / steps_per_outer)
     pad = n_outer * steps_per_outer - n_steps
 
+    DR = _setpoint_deltas(
+        block_map, setpoints, n_outer, dtype, "time_parallel_rollout"
+    )
     W_pad = jnp.concatenate(
-        [jnp.asarray(W, dtype=dtype), jnp.zeros((pad, p), dtype=dtype)],
-        axis=0,
-    ).reshape(n_outer, steps_per_outer * p)
+        [
+            jnp.concatenate(
+                [jnp.asarray(W, dtype=dtype),
+                 jnp.zeros((pad, p), dtype=dtype)],
+                axis=0,
+            ).reshape(n_outer, steps_per_outer * p),
+            DR,
+        ],
+        axis=1,
+    )
 
     s0 = (
         jnp.concatenate(
@@ -667,9 +724,14 @@ def time_parallel_rollout(
             + W_pad @ block_map.OsW_T
         )
         thetas = st.reshape(n_outer * K, S)[:n_solves, ns:]
+        # Joint [theta; dr] per solve (dr shared within an outer block;
+        # zero-width for plain maps).
+        xi = jnp.concatenate(
+            [thetas, jnp.repeat(DR, K, axis=0)[:n_solves]], axis=1
+        )
         costs = (
-            jnp.einsum("ti,ij,tj->t", thetas, block_map.cost_P, thetas)
-            + thetas @ block_map.cost_q
+            jnp.einsum("ti,ij,tj->t", xi, block_map.cost_P, xi)
+            + xi @ block_map.cost_q
             + block_map.cost_r
         )
 
@@ -693,6 +755,7 @@ def make_linear_batched_rollout(
     eps_max: float = 0.0,
     emit_trajectories: bool = True,
     precision: str = "highest",
+    setpoints: Optional[jax.Array] = None,
 ):
     """Jitted batched rollout.
 
@@ -704,26 +767,37 @@ def make_linear_batched_rollout(
     The batch dimension rides the leading axis of every matmul, so each
     scan iteration is one ``(B, S + K nw)``-by-``(S + K nw, outputs)``
     MXU matmul covering K solves.
+
+    ``setpoints`` (tracking maps): ``(n_r,)`` constant,
+    ``(n_outer, n_r)`` shared per-block schedule, or a per-scenario
+    ``(B, n_outer, n_r)`` schedule (vmapped with the batch).
     """
-    _reject_tracking_map(block_map, "make_linear_batched_rollout")
+    per_scenario_sched = (
+        setpoints is not None and jnp.ndim(setpoints) == 3
+    )
 
     def run(x0s, u_pasts, y_pasts, noise):
-        def one(x0, up, yp, nz):
+        def one(x0, up, yp, nz, sp):
+            kw = dict(
+                n_steps=n_steps, n_mpc_step=n_mpc_step,
+                emit_trajectories=emit_trajectories,
+                precision=precision, setpoints=sp,
+            )
             if use_rng_noise:
                 return linear_closed_loop_rollout(
                     block_map, x0, up, yp,
-                    n_steps=n_steps, n_mpc_step=n_mpc_step,
-                    noise_key=nz, eps_max=eps_max,
-                    emit_trajectories=emit_trajectories,
-                    precision=precision,
+                    noise_key=nz, eps_max=eps_max, **kw,
                 )
             return linear_closed_loop_rollout(
-                block_map, x0, up, yp, W=nz,
-                n_steps=n_steps, n_mpc_step=n_mpc_step,
-                emit_trajectories=emit_trajectories,
-                precision=precision,
+                block_map, x0, up, yp, W=nz, **kw,
             )
 
-        return jax.vmap(one)(x0s, u_pasts, y_pasts, noise)
+        if per_scenario_sched:
+            return jax.vmap(one)(
+                x0s, u_pasts, y_pasts, noise, jnp.asarray(setpoints)
+            )
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, None))(
+            x0s, u_pasts, y_pasts, noise, setpoints
+        )
 
     return jax.jit(run)

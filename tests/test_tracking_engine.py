@@ -178,8 +178,12 @@ def test_validation(setup):
             bm, x0s, ups, yps, Ws, n_steps=T, backend="xla",
             setpoints=jnp.asarray(r0, jnp.float32),
         )
-    with pytest.raises(NotImplementedError, match="tracking"):
-        make_linear_batched_rollout(bm_t, n_steps=T)
+    with pytest.raises(ValueError, match="requires a `setpoints`"):
+        make_linear_batched_rollout(bm_t, n_steps=T)(x0s, ups, yps, Ws)
+    with pytest.raises(ValueError, match="require a tracking"):
+        make_linear_batched_rollout(
+            bm, n_steps=T, setpoints=jnp.asarray(r0, jnp.float32)
+        )(x0s, ups, yps, Ws)
     # The kernel sweet-spot helper accounts for the setpoint lanes.
     assert suggest_solves_per_block(4, 4, 2, 2, n_r=4) == (128 - 24) // 2
 
@@ -260,4 +264,95 @@ def test_tracking_with_nstep_cadence():
     )
     np.testing.assert_allclose(
         np.asarray(res.y_sys[0]), np.asarray(gen.y_sys), atol=2e-5
+    )
+
+
+def test_classic_engines_track_schedules(setup):
+    """Round-4: the CLASSIC condensed paths (sequential scan engine,
+    associative-scan time-parallel engine, batched wrapper) thread
+    tracking maps too -- same schedule, same outputs as the fused XLA
+    engine (which is itself pinned to the generic TrackingMap loop
+    above)."""
+    from direct_data_driven_mpc_tpu.control.linear_engine import (
+        linear_closed_loop_rollout,
+        time_parallel_rollout,
+    )
+
+    _, _, _, bm_t, _, batch, r0 = setup
+    x0s, ups, yps, Ws = batch
+    sched = jnp.asarray(_schedule(r0), jnp.float32)
+    ref = pallas_batched_rollout(
+        bm_t, x0s, ups, yps, Ws, n_steps=T, backend="xla",
+        setpoints=sched,
+    )
+
+    lin = linear_closed_loop_rollout(
+        bm_t, x0s[0], ups[0], yps[0], Ws[0], n_steps=T,
+        setpoints=sched,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lin.u_sys), np.asarray(ref.u_sys[0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(lin.costs), np.asarray(ref.costs[0]), rtol=1e-4,
+        atol=1e-4,
+    )
+
+    tp = time_parallel_rollout(
+        bm_t, x0s[0], ups[0], yps[0], Ws[0], n_steps=T,
+        setpoints=sched,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp.u_sys), np.asarray(lin.u_sys), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp.y_sys), np.asarray(lin.y_sys), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp.costs), np.asarray(lin.costs), rtol=1e-3,
+        atol=1e-3,
+    )
+
+    # Batched wrapper: shared schedule and per-scenario schedules
+    # (vmap regroups the f32 matmuls, so to rounding, not bitwise).
+    run = make_linear_batched_rollout(bm_t, n_steps=T, setpoints=sched)
+    bat = run(x0s, ups, yps, Ws)
+    np.testing.assert_allclose(
+        np.asarray(bat.u_sys[0]), np.asarray(lin.u_sys), atol=1e-5
+    )
+    per_lane = jnp.tile(sched[None], (B, 1, 1))
+    run_pl = make_linear_batched_rollout(
+        bm_t, n_steps=T, setpoints=per_lane
+    )
+    bat_pl = run_pl(x0s, ups, yps, Ws)
+    np.testing.assert_allclose(
+        np.asarray(bat_pl.u_sys), np.asarray(bat.u_sys), atol=1e-6
+    )
+
+
+def test_classic_engines_tracking_at_dr0_bit_exact(setup):
+    """At dr = 0 the classic engines on the tracking map reproduce the
+    plain condensed map bit-for-bit (u/y; costs to f32 rounding)."""
+    from direct_data_driven_mpc_tpu.control.linear_engine import (
+        linear_closed_loop_rollout,
+    )
+
+    _, _, bm, bm_t, _, batch, r0 = setup
+    x0s, ups, yps, Ws = batch
+    r0f = jnp.asarray(r0, jnp.float32)
+    res = linear_closed_loop_rollout(
+        bm_t, x0s[0], ups[0], yps[0], Ws[0], n_steps=T, setpoints=r0f
+    )
+    ref = linear_closed_loop_rollout(
+        bm, x0s[0], ups[0], yps[0], Ws[0], n_steps=T
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.u_sys), np.asarray(ref.u_sys)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.y_sys), np.asarray(ref.y_sys)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.costs), np.asarray(ref.costs), rtol=1e-3,
+        atol=1e-4,
     )
