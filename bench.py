@@ -693,18 +693,22 @@ def run_config(config: str) -> dict:
         # picked so the fused [w | s] operand fills one 128-lane
         # contraction tile exactly (K=50 for the four-tank shape --
         # measured 1.4x faster than running the kernel at the XLA
-        # engine's K=100; sweep in scripts/sweep_pallas.py). Only
-        # applies when the condensed state fits one tile (the
-        # large-plant shapes keep their VMEM-tuned K=10).
+        # engine's K=100; sweep in scripts/sweep_pallas.py). Large-
+        # state shapes (S > one tile) instead move the cost channel
+        # OUT of the kernel (cost_mode="post": per-solve costs
+        # reconstructed from the emitted trajectories): the K*n_theta
+        # cost columns were what VMEM-capped round 3's large_plant at
+        # K=10; without them K grows to 50.
         S_cond = plant_model.get_system_order() + n * (m + p)
-        K_kernel = (
-            suggest_solves_per_block(
+        if S_cond <= 128:
+            K_kernel = suggest_solves_per_block(
                 plant_model.get_system_order(), n, m, p,
                 n_mpc_step=1, n_steps=T,
             )
-            if S_cond <= 128
-            else 10
-        )
+            cost_mode = "inkernel"
+        else:
+            K_kernel = 50
+            cost_mode = "post"
         t0 = time.perf_counter()
         bm_kernel = build_linear_engine(
             ctrl, plant_model.as_params(), solves_per_block=K_kernel,
@@ -716,9 +720,11 @@ def run_config(config: str) -> dict:
             jax.random.key(0), B, T, p, plant_model.get_eps_max(),
             dtype=dtype,
         )
-        run = make_amortized_pallas_run(bm_kernel, n_steps=T)
+        run = make_amortized_pallas_run(
+            bm_kernel, n_steps=T, cost_mode=cost_mode
+        )
         args = (x0s, ups, yps, noise)
-        engine_name = "pallas"
+        engine_name = f"pallas({cost_mode})"
     else:
         run, args = make_xla_run()
 

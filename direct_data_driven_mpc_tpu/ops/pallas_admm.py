@@ -518,10 +518,13 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int]):
         )
         new_vc = lo[:, :Wb]
         new_zth = lo[:, Wb:]
-        return (
-            u_app, y, cost, rp, rd,
-            s_next, new_pre, new_vc, new_zth, s, w,
-        )
+        # Single TRANSPOSED output tile (out_w, rows): a time-leading
+        # HBM buffer with a narrow lane dim would pad 128/out_w-fold
+        # under the TPU's (8,128) tile layout (measured: 6 GB of pure
+        # padding at B=65536); batch-minor keeps HBM dense at the cost
+        # of one small transpose per solve.
+        out_t = jnp.concatenate([u_app, y, cost, rp, rd], axis=1).T
+        return (out_t, s_next, new_pre, new_vc, new_zth, s, w)
 
     return block_math
 
@@ -542,14 +545,17 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
     ]
     operators = [ops[k] for k in op_names]
 
+    out_w = qnbm + qnbp + 3 * q
+
     def kernel(*refs):
         op_refs = refs[: len(op_names)]
         (s0_ref, pre0_ref, vc0_ref, zth0_ref, sa0_ref, wa0_ref,
          W_ref) = refs[len(op_names) : len(op_names) + 7]
-        (U_ref, Y_ref, C_ref, RP_ref, RD_ref, sfin_ref, safin_ref,
-         wafin_ref) = refs[len(op_names) + 7 : len(op_names) + 15]
+        (OUT_ref, sfin_ref, safin_ref, wafin_ref) = refs[
+            len(op_names) + 7 : len(op_names) + 11
+        ]
         (s_scr, pre_scr, vc_scr, zth_scr, sa_scr, wa_scr) = refs[
-            len(op_names) + 15 :
+            len(op_names) + 11 :
         ]
         local_ops = {k: r[:] for k, r in zip(op_names, op_refs)}
         t = pl.program_id(1)
@@ -568,16 +574,11 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
         # operators arrive as VMEM refs, so rebuild the closure over
         # the ref reads (views, no copies).
         math_fn = _make_block_math(local_ops, dims, iters)
-        (u_app, y, cost, rp, rd, s_next, new_pre, new_vc, new_zth,
-         sa, wa) = math_fn(
+        (out_t, s_next, new_pre, new_vc, new_zth, sa, wa) = math_fn(
             s_scr[:], pre_scr[:], vc_scr[:], zth_scr[:], sa_scr[:],
-            wa_scr[:], W_ref[0],
+            wa_scr[:], W_ref[0].T,
         )
-        U_ref[0] = u_app
-        Y_ref[0] = y
-        C_ref[0] = cost
-        RP_ref[0] = rp
-        RD_ref[0] = rd
+        OUT_ref[0] = out_t
         s_scr[:] = s_next
         pre_scr[:] = new_pre
         vc_scr[:] = new_vc
@@ -595,7 +596,7 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
 
     def run(s0p, pre0, vc0, zth0, sa0, wa0, W_packed):
         Bq = s0p.shape[0]
-        bbq = batch_block
+        bbq = min(batch_block, Bq)
         if Bq % bbq:
             raise ValueError(
                 f"packed batch {Bq} must be a multiple of "
@@ -616,24 +617,18 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
             carry_spec(Wz),
             carry_spec(Wb),
             carry_spec(Wb),
-            bspec((1, bbq, qnbp), lambda b, t: (t, b, 0)),
+            # Noise arrives batch-minor (n_blocks, q*nb*p, Bq): dense
+            # in HBM (see block_math's out_t note).
+            bspec((1, qnbp, bbq), lambda b, t: (t, 0, b)),
         ]
         out_specs = (
-            bspec((1, bbq, qnbm), lambda b, t: (t, b, 0)),
-            bspec((1, bbq, qnbp), lambda b, t: (t, b, 0)),
-            bspec((1, bbq, q), lambda b, t: (t, b, 0)),
-            bspec((1, bbq, q), lambda b, t: (t, b, 0)),
-            bspec((1, bbq, q), lambda b, t: (t, b, 0)),
+            bspec((1, out_w, bbq), lambda b, t: (t, 0, b)),
             carry_spec(qS),
             carry_spec(Wb),
             carry_spec(Wb),
         )
         out_shapes = (
-            jax.ShapeDtypeStruct((n_blocks, Bq, qnbm), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, Bq, qnbp), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, Bq, dims.q), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, Bq, dims.q), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, Bq, dims.q), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, out_w, Bq), jnp.float32),
             jax.ShapeDtypeStruct((Bq, qS), jnp.float32),
             jax.ShapeDtypeStruct((Bq, Wb), jnp.float32),
             jax.ShapeDtypeStruct((Bq, Wb), jnp.float32),
@@ -665,22 +660,18 @@ def _make_admm_twin(ops, dims: FusedADMMDims, iters, n_blocks: int):
     block_math = _make_block_math(ops, dims, iters)
 
     def run(s0p, pre0, vc0, zth0, sa0, wa0, W_packed):
-        def step(carry, w_tile):
+        def step(carry, w_tile_t):
             s_flat, pre, vc, zth, sa, wa = carry
-            (u_app, y, cost, rp, rd, s_next, new_pre, new_vc,
-             new_zth, s, w) = block_math(
-                s_flat, pre, vc, zth, sa, wa, w_tile
+            (out_t, s_next, new_pre, new_vc, new_zth, s, w) = (
+                block_math(s_flat, pre, vc, zth, sa, wa, w_tile_t.T)
             )
-            return (
-                (s_next, new_pre, new_vc, new_zth, s, w),
-                (u_app, y, cost, rp, rd),
-            )
+            return (s_next, new_pre, new_vc, new_zth, s, w), out_t
 
         carry0 = (s0p, pre0, vc0, zth0, sa0, wa0)
-        (s_fin, _, _, _, sa_fin, wa_fin), (U, Y, C, RP, RD) = (
-            jax.lax.scan(step, carry0, W_packed)
+        (s_fin, _, _, _, sa_fin, wa_fin), OUT = jax.lax.scan(
+            step, carry0, W_packed
         )
-        return U, Y, C, RP, RD, s_fin, sa_fin, wa_fin
+        return OUT, s_fin, sa_fin, wa_fin
 
     return run
 
@@ -812,34 +803,42 @@ def make_fused_admm_rollout(
             ],
             axis=1,
         )  # (B, n_blocks*nb, p)
+        # Batch-minor layout (n_blocks, q*nb*p, Bq): a batch-major
+        # (n_blocks, Bq, few-lanes) buffer would tile-pad its lane dim
+        # 128/(q*nb*p)-fold in HBM.
         W_packed = (
             W_pad.reshape(Bq, qq, n_blocks, nb * dims.p)
-            .transpose(2, 0, 1, 3)
-            .reshape(n_blocks, Bq, qq * nb * dims.p)
+            .transpose(2, 1, 3, 0)
+            .reshape(n_blocks, qq * nb * dims.p, Bq)
         )
 
-        U, Y, C, RP, RD, s_fin, sa_fin, wa_fin = engine(
+        OUT, s_fin, sa_fin, wa_fin = engine(
             s0p, pre0, vc0, zth0, sa0, wa0, W_packed
         )
+        qnbm = qq * nb * dims.m
+        qnbp = qq * nb * dims.p
 
-        def unpack_t(x, width):  # (n_blocks, Bq, q*width) -> (B, T, w)
+        def unpack_t(x, width):  # (n_blocks, q*width, Bq) -> (B, T, w)
             return (
-                x.reshape(n_blocks, Bq, qq, width)
-                .transpose(1, 2, 0, 3)
+                x.reshape(n_blocks, qq, width, Bq)
+                .transpose(3, 1, 0, 2)
                 .reshape(B, n_blocks, width)
             )
 
-        u_sys = unpack_t(U, nb * dims.m).reshape(B, -1, dims.m)[
-            :, :n_steps
-        ]
-        y_sys = unpack_t(Y, nb * dims.p).reshape(B, -1, dims.p)[
-            :, :n_steps
-        ]
-        costs = (
-            C.transpose(1, 2, 0).reshape(B, n_blocks)
-        )
-        rp = RP.transpose(1, 2, 0).reshape(B, n_blocks)
-        rd = RD.transpose(1, 2, 0).reshape(B, n_blocks)
+        u_sys = unpack_t(OUT[:, :qnbm], nb * dims.m).reshape(
+            B, -1, dims.m
+        )[:, :n_steps]
+        y_sys = unpack_t(
+            OUT[:, qnbm : qnbm + qnbp], nb * dims.p
+        ).reshape(B, -1, dims.p)[:, :n_steps]
+
+        def unpack_scalar(x):  # (n_blocks, q, Bq) -> (B, n_blocks)
+            return x.transpose(2, 1, 0).reshape(B, n_blocks)
+
+        off = qnbm + qnbp
+        costs = unpack_scalar(OUT[:, off : off + qq])
+        rp = unpack_scalar(OUT[:, off + qq : off + 2 * qq])
+        rd = unpack_scalar(OUT[:, off + 2 * qq :])
         converged = (rp <= tol) & (rd <= tol)
         s_fin_b = s_fin.reshape(B, S)
         sa_b = sa_fin.reshape(B, seg)[:, :nbox]

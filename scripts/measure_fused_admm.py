@@ -48,6 +48,8 @@ def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "convex"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
     backend = sys.argv[3] if len(sys.argv) > 3 else "pallas"
+    bbq = int(os.environ.get("ADMM_BB", "256"))
+    iters_env = os.environ.get("ADMM_ITERS")
     T = 400
     n, m, p, N, L = 4, 2, 2, 400, 30
     rng = np.random.default_rng(0)
@@ -91,8 +93,10 @@ def main():
     else:
         op = compute_admm_operator_np(ctrl.spec)
         iters, cold, tol = (4, 5, 2), 24, 1e-5
+    if iters_env:
+        iters = tuple(int(x) for x in iters_env.split(","))
     log(f"device: {jax.devices()[0]}, variant={variant}, B={B}, "
-        f"backend={backend}, iters={iters}, cold={cold}")
+        f"backend={backend}, iters={iters}, cold={cold}, bbq={bbq}")
 
     plant_params = plant_model.as_params(dtype=np.float32)
     dtype = jnp.float32
@@ -111,7 +115,7 @@ def main():
         n=n, m=m, p=p, n_steps=T, iters=iters, cold_iters=cold, tol=tol
     )
     run = make_fused_admm_rollout(
-        plant_params, op, backend=backend, **kw
+        plant_params, op, backend=backend, batch_block=bbq, **kw
     )
 
     @jax.jit
@@ -155,7 +159,7 @@ def main():
 
     if backend == "pallas":
         # Small-slice parity probe vs the XLA twin on-chip.
-        Bp = 256
+        Bp = 2048
         twin = make_fused_admm_rollout(
             plant_params, op, backend="xla", **kw
         )

@@ -138,3 +138,86 @@ def test_cost_precision_split_path_matches_fused():
             bm, x0s, ups, yps, Ws, n_steps=n_steps, backend="xla",
             cost_precision="bfloat16",
         )
+
+
+def test_cost_mode_post_matches_inkernel():
+    """cost_mode="post" (cost channel reconstructed from emitted
+    trajectories -- the large-plant VMEM fix) must leave u/y untouched
+    and reproduce the per-solve costs to diagnostic accuracy, on both
+    the XLA twin and the kernel (interpret), incl. n-step cadence and
+    trailing trim."""
+    from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
+        pallas_batched_rollout,
+    )
+
+    for n_mpc_step, n_steps in ((1, 48), (4, 42)):
+        plant, ctrl, rng = _make_setup(n_mpc_step=n_mpc_step)
+        bm = build_affine_block_map(
+            plant.as_params(dtype=np.float32), ctrl._op, n=4, m=2, p=2,
+            n_mpc_step=n_mpc_step, solves_per_block=4,
+            dtype=jnp.float32,
+        )
+        B = 4
+        x0s = jnp.tile(
+            jnp.asarray(plant.get_state(), jnp.float32)[None], (B, 1)
+        )
+        ups = jnp.tile(
+            jnp.asarray(ctrl.u_past.reshape(4, 2), jnp.float32)[None],
+            (B, 1, 1),
+        )
+        yps = jnp.tile(
+            jnp.asarray(ctrl.y_past.reshape(4, 2), jnp.float32)[None],
+            (B, 1, 1),
+        )
+        Ws = jnp.asarray(
+            0.002 * rng.uniform(-1, 1, (B, n_steps, 2)), jnp.float32
+        )
+        ref = pallas_batched_rollout(
+            bm, x0s, ups, yps, Ws, n_steps=n_steps,
+            n_mpc_step=n_mpc_step, backend="xla",
+        )
+        post = pallas_batched_rollout(
+            bm, x0s, ups, yps, Ws, n_steps=n_steps,
+            n_mpc_step=n_mpc_step, backend="xla", cost_mode="post",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(post.u_sys), np.asarray(ref.u_sys)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(post.y_sys), np.asarray(ref.y_sys)
+        )
+        assert post.costs.shape == ref.costs.shape
+        np.testing.assert_allclose(
+            np.asarray(post.costs), np.asarray(ref.costs), rtol=1e-3,
+            atol=1e-3,
+        )
+        kern = pallas_batched_rollout(
+            bm, x0s, ups, yps, Ws, n_steps=n_steps,
+            n_mpc_step=n_mpc_step, backend="pallas", interpret=True,
+            batch_block=4, cost_mode="post",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(kern.u_sys), np.asarray(post.u_sys)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(kern.costs), np.asarray(post.costs)
+        )
+
+
+def test_cost_mode_post_rejects_tracking_maps():
+    from direct_data_driven_mpc_tpu.control.linear_engine import (
+        build_tracking_engine,
+    )
+    from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
+        make_fused_batched_rollout,
+    )
+
+    plant, ctrl, rng = _make_setup(n_mpc_step=1)
+    bm_t = build_tracking_engine(
+        ctrl, plant.as_params(dtype=np.float32), solves_per_block=4,
+        dtype=jnp.float32,
+    )
+    with pytest.raises(NotImplementedError, match="post"):
+        make_fused_batched_rollout(
+            bm_t, n_steps=16, backend="xla", cost_mode="post"
+        )
