@@ -77,11 +77,28 @@ def _dot1(a_bf16, b_bf16):
     )
 
 
-def _dot3(a_f32, b_hi, b_lo):
-    """Explicit 3-pass bf16 decomposition (Mosaic does not lower
-    Precision.HIGH): ``a @ b ~= a_hi@b_hi + a_hi@b_lo + a_lo@b_hi``."""
+def _stack3(b_f32):
+    """Operator-side prep for :func:`_dot3`: the 3-pass decomposition
+    stacked into ONE contraction ``[b_hi; b_hi; b_lo]`` (bf16).
+
+    One stacked dot instead of three summed dots: a single MXU call
+    per 3-pass matmul (fewer dispatches), and nothing for XLA's
+    algebraic simplifier to merge. (The original accuracy bug here was
+    the naive ``_bf16_split`` being precision-elided under jitted
+    XLA-TPU -- ``lo`` became exactly zero; see the bit-masked split in
+    ops/pallas_rollout.py.)
+    """
+    b_hi, b_lo = _bf16_split(jnp.asarray(b_f32, jnp.float32))
+    return jnp.concatenate([b_hi, b_hi, b_lo], axis=0)
+
+
+def _dot3(a_f32, b3):
+    """3-pass bf16 decomposition as ONE MXU dot (Mosaic does not lower
+    Precision.HIGH): ``a @ b ~= [a_hi | a_lo | a_hi] @ [b_hi; b_hi;
+    b_lo]`` -- same MACs as three passes, one dispatch."""
     a_hi, a_lo = _bf16_split(a_f32)
-    return _dot1(a_hi, b_hi) + _dot1(a_hi, b_lo) + _dot1(a_lo, b_hi)
+    a3 = jnp.concatenate([a_hi, a_lo, a_hi], axis=1)
+    return _dot1(a3, b3)
 
 
 def _dot6(a, b):
@@ -402,31 +419,25 @@ def build_fused_admm_operator(
         rho=float(op["rho"]), alpha=float(op["alpha"]),
     )
 
-    def hl(x):  # bf16 hi/lo pair for 3-pass dots
-        a = jnp.asarray(x, jnp.float32)
-        return _bf16_split(a)
-
-    Vop_hi, Vop_lo = hl(Vop)
-    M1_hi, M1_lo = hl(M1)
-    M2lo_hi, M2lo_lo = hl(M2_lo)
+    Seg_bf = jnp.asarray(Seg, jnp.bfloat16)
     ops = {
         "Gpre": jnp.asarray(Gpre, jnp.float32),
         "bpre": jnp.asarray(bpre, jnp.float32),
         "Vop_f32": jnp.asarray(Vop, jnp.float32),
-        "Vop_hi": Vop_hi,
-        "Vop_lo": Vop_lo,
+        "Vop_1": jnp.asarray(Vop, jnp.float32).astype(jnp.bfloat16),
+        "Vop_3": _stack3(Vop),
         "lo_vec": jnp.asarray(lo_vec, jnp.float32),
         "hi_vec": jnp.asarray(hi_vec, jnp.float32),
-        "M1_hi": M1_hi,
-        "M1_lo": M1_lo,
+        "M1_3": _stack3(M1),
         "M2_hi": jnp.asarray(M2_hi, jnp.float32),
         "b2_hi": jnp.asarray(b2_hi, jnp.float32),
-        "M2lo_hi": M2lo_hi,
-        "M2lo_lo": M2lo_lo,
+        "M2lo_3": _stack3(M2_lo),
         "b2_lo": jnp.asarray(b2_lo, jnp.float32),
         "u_lo_out": jnp.asarray(u_lo_out, jnp.float32),
         "u_hi_out": jnp.asarray(u_hi_out, jnp.float32),
-        "Seg_bf": jnp.asarray(Seg, jnp.bfloat16),
+        # 2-pass exact segment sum, same stacked-dot trick (the 0/1
+        # matrix is exact in bf16).
+        "Seg_2": jnp.concatenate([Seg_bf, Seg_bf], axis=0),
     }
     return ops, dims
 
@@ -456,9 +467,9 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int]):
                 s, w, _, _ = carry
                 d = s - w
                 if prec == 1:
-                    v = _dot1(d.astype(jnp.bfloat16), ops["Vop_hi"])
+                    v = _dot1(d.astype(jnp.bfloat16), ops["Vop_1"])
                 elif prec == 3:
-                    v = _dot3(d, ops["Vop_hi"], ops["Vop_lo"])
+                    v = _dot3(d, ops["Vop_3"])
                 else:
                     v = _dot6(d, ops["Vop_f32"])
                 v = v + vc
@@ -478,14 +489,16 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int]):
                 )
         s, w, rpv, rdv = carry
         t_vec = s - w
-        m1 = _dot3(t_vec, ops["M1_hi"], ops["M1_lo"])
+        m1 = _dot3(t_vec, ops["M1_3"])
         u_raw = pre[:, :qnbm] + m1[:, :qnbm]
         u_app = jnp.clip(u_raw, ops["u_lo_out"], ops["u_hi_out"])
         qlin = pre[:, qnbm:Mw] + m1[:, qnbm:Mw]
         z = zth + m1[:, Mw:]
         zz_hi, zz_lo = _bf16_split(z * z)
         cost = (
-            _dot1(zz_hi, ops["Seg_bf"]) + _dot1(zz_lo, ops["Seg_bf"])
+            _dot1(
+                jnp.concatenate([zz_hi, zz_lo], axis=1), ops["Seg_2"]
+            )
             + qlin
         )
         rp = jnp.concatenate(
@@ -510,7 +523,7 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int]):
         )
         in2 = jnp.concatenate([s_flat, u_app, w_tile], axis=1)
         hi = _dot6(in2, ops["M2_hi"]) + ops["b2_hi"]
-        lo = _dot3(in2, ops["M2lo_hi"], ops["M2lo_lo"]) + ops["b2_lo"]
+        lo = _dot3(in2, ops["M2lo_3"]) + ops["b2_lo"]
         s_next = hi[:, : q * S]
         y = hi[:, OFF_Y : OFF_Y + qnbp]
         new_pre = jnp.concatenate(
@@ -539,9 +552,9 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
     qS = q * S
 
     op_names = [
-        "Vop_f32", "Vop_hi", "Vop_lo", "lo_vec", "hi_vec",
-        "M1_hi", "M1_lo", "M2_hi", "b2_hi", "M2lo_hi", "M2lo_lo",
-        "b2_lo", "u_lo_out", "u_hi_out", "Seg_bf",
+        "Vop_f32", "Vop_1", "Vop_3", "lo_vec", "hi_vec",
+        "M1_3", "M2_hi", "b2_hi", "M2lo_3",
+        "b2_lo", "u_lo_out", "u_hi_out", "Seg_2",
     ]
     operators = [ops[k] for k in op_names]
 
@@ -782,7 +795,7 @@ def make_fused_admm_rollout(
                 def cold_body(_, carry):
                     s, w = carry
                     d = s - w
-                    v = vc0 + _dot3(d, ops["Vop_hi"], ops["Vop_lo"])
+                    v = vc0 + _dot3(d, ops["Vop_3"])
                     vh = alpha * v + (1.0 - alpha) * s
                     s_new = jnp.clip(
                         vh + w, ops["lo_vec"], ops["hi_vec"]

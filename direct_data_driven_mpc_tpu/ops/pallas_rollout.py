@@ -375,9 +375,25 @@ def _check_cost_precision(name: str) -> None:
 
 
 def _bf16_split(x):
-    """(hi, lo) bf16 pair with ``hi + lo ~= x`` (error O(2^-18) rel)."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    """(hi, lo) bf16 pair with ``hi + lo ~= x`` (error O(2^-18) rel).
+
+    Implemented by BIT-MASKING the low 16 mantissa bits (truncation
+    split) instead of the naive ``lo = bf16(x - f32(bf16(x)))``: under
+    jitted XLA-TPU the naive form gets precision-elided -- the
+    subtraction is simplified into bf16 and ``lo`` silently becomes
+    EXACTLY ZERO, degrading every "3-pass" matmul to single-pass
+    accuracy (measured on-chip: 1.7e-3 relative instead of ~1e-5).
+    Eager mode, CPU, and Mosaic kernels were unaffected, which is how
+    the round-3 measurements and interpret-mode tests missed it. The
+    masked ``hi`` is exactly bf16-representable and ``x - hi`` is
+    exact in f32, so nothing here is foldable.
+    """
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi32 = jax.lax.bitcast_convert_type(
+        xi & jnp.int32(-65536), jnp.float32  # 0xFFFF0000
+    )
+    hi = hi32.astype(jnp.bfloat16)  # exact (low mantissa bits zero)
+    lo = (x - hi32).astype(jnp.bfloat16)  # x - hi32 exact in f32
     return hi, lo
 
 
@@ -646,7 +662,16 @@ def _make_xla_rollout_from_fused(
     if split:
         G_par = G[:, :OFF3]
         Z_hi, Z_lo = _bf16_split(G[:, OFF3:])
+        # The 3 bf16 passes MUST be one stacked dot on the XLA path:
+        # XLA-TPU algebraically merges dots sharing an operand
+        # (dot(a,b1)+dot(a,b2) -> dot(a,b1+b2)), and the bf16 sum
+        # rounds the low term away -- measured 1.7e-3 relative instead
+        # of ~1e-5 (Mosaic and CPU are unaffected; the in-kernel
+        # 3-dot form in kernel_split stays correct). Same for the
+        # 2-pass segment sum.
+        Z3 = jnp.concatenate([Z_hi, Z_hi, Z_lo], axis=0)
         Seg_bf = Seg.astype(jnp.bfloat16)
+        Seg2 = jnp.concatenate([Seg_bf, Seg_bf], axis=0)
 
     def mm1(a, b):  # one native bf16 pass, f32 accumulation
         return jax.lax.dot_general(
@@ -666,19 +691,22 @@ def _make_xla_rollout_from_fused(
             if split:
                 # Same mixed-precision scheme as the kernel:
                 # parity-bound columns (carry, u, y) at HIGHEST, cost
-                # features via explicit bf16_3x, exact 2-pass segment
-                # sum (module docstring).
+                # features via bf16_3x as ONE stacked dot (see Z3
+                # above), exact 2-pass segment sum.
                 out = jnp.matmul(sw, G_par, precision=HI) + bias[:OFF3]
                 sw_hi, sw_lo = _bf16_split(sw)
                 zq = (
-                    mm1(sw_hi, Z_hi)
-                    + mm1(sw_hi, Z_lo)
-                    + mm1(sw_lo, Z_hi)
+                    mm1(
+                        jnp.concatenate([sw_hi, sw_lo, sw_hi], axis=1),
+                        Z3,
+                    )
                     + bias[OFF3:]
                 )
                 z = zq[:, :W3]
                 zz_hi, zz_lo = _bf16_split(z * z)
-                seg_sum = mm1(zz_hi, Seg_bf) + mm1(zz_lo, Seg_bf)
+                seg_sum = mm1(
+                    jnp.concatenate([zz_hi, zz_lo], axis=1), Seg2
+                )
                 qpart = zq[:, W3 : W3 + W4]
             else:
                 out = jnp.matmul(sw, G, precision=HI) + bias
