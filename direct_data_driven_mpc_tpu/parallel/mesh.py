@@ -347,3 +347,77 @@ def make_sharded_linear_rollout(
         return run(*args)
 
     return sharded_run
+
+
+def make_sharded_fused_admm_rollout(
+    mesh: Mesh,
+    plant: LTIParams,
+    admm_op: dict,
+    n: int,
+    m: int,
+    p: int,
+    n_steps: int,
+    n_mpc_step: int = 1,
+    iters=(4, 5, 2),
+    cold_iters: int = 24,
+    backend: str = "pallas",
+    batch_block: int = 256,
+    tol: float = 1e-5,
+    q=None,
+):
+    """The round-4 fused ADMM engine (ops/pallas_admm.py) data-parallel
+    over the mesh via ``shard_map``: each device runs the kernel (or
+    its XLA twin) on its local scenario shard -- zero collectives in
+    the hot loop, one ``psum`` pair for aggregate metrics (scenarios
+    stay host-local per SURVEY.md section 5). Same result/metric
+    contract as :func:`make_sharded_fused_rollout`; the ADMM
+    warm-start state shards over ``data`` with the scenarios.
+    """
+    from direct_data_driven_mpc_tpu.ops.pallas_admm import (
+        make_fused_admm_rollout,
+    )
+
+    local_rollout = make_fused_admm_rollout(
+        plant, admm_op, n, m, p, n_steps, n_mpc_step=n_mpc_step,
+        iters=iters, cold_iters=cold_iters, backend=backend,
+        batch_block=batch_block, tol=tol, q=q,
+    )
+
+    result_specs = ClosedLoopResult(
+        u_sys=P("data"),
+        y_sys=P("data"),
+        costs=P("data"),
+        converged=P("data"),
+        x_final=P("data"),
+        u_past=P("data"),
+        y_past=P("data"),
+        solver_state=ADMMState(s=P("data"), w=P("data")),
+    )
+    out_specs = (result_specs, {"mean_final_cost": P(),
+                                "frac_converged": P()})
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data"),) * 4,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def sharded(x0s, u_pasts, y_pasts, Ws):
+        result = local_rollout(x0s, u_pasts, y_pasts, Ws)
+        local_b = result.costs.shape[0]
+        tot_b = jax.lax.psum(jnp.float32(local_b), "data")
+        tot_cost = jax.lax.psum(jnp.sum(result.costs[:, -1]), "data")
+        tot_conv = jax.lax.psum(
+            jnp.sum(result.converged.astype(jnp.float32)), "data"
+        )
+        tot_solves = jax.lax.psum(
+            jnp.asarray(result.converged.size, jnp.float32), "data"
+        )
+        metrics = {
+            "mean_final_cost": tot_cost / tot_b,
+            "frac_converged": tot_conv / tot_solves,
+        }
+        return result, metrics
+
+    return jax.jit(sharded)

@@ -272,3 +272,54 @@ def test_pack_factor_and_ladder_rejection(golden):
     )  # default: 7-rung ladder
     with pytest.raises(ValueError, match="SINGLE-rung"):
         build_fused_admm_operator(_plant32(), ladder_op, n=4, m=2, p=2)
+
+
+def test_sharded_fused_admm_matches_unsharded(golden):
+    """The fused ADMM engine under shard_map over the virtual 8-device
+    mesh (XLA twin; Mosaic cannot compile on CPU) reproduces the
+    unsharded engine and psum-reduces the metrics."""
+    from direct_data_driven_mpc_tpu.parallel.mesh import (
+        make_scenario_mesh,
+        make_sharded_fused_admm_rollout,
+    )
+
+    mesh = make_scenario_mesh(n_data=4, n_model=2)
+    ctrl = _golden_controller(golden, "CONVEX")
+    op = compute_admm_operator_np(ctrl.spec)
+    T, B = 40, 8
+    plant32 = _plant32()
+    tile = lambda a: jnp.tile(  # noqa: E731
+        jnp.asarray(a, jnp.float32)[None],
+        (B,) + (1,) * np.asarray(a).ndim,
+    )
+    rng = np.random.default_rng(1)
+    args = (
+        tile(golden["x0"]),
+        tile(golden["CONVEX_u_past0"]),
+        tile(golden["CONVEX_y_past0"]),
+        jnp.asarray(
+            0.002 * rng.uniform(-1, 1, (B, T, 2)), jnp.float32
+        ),
+    )
+    kw = dict(
+        n=4, m=2, p=2, n_steps=T, iters=CONVEX_ITERS, cold_iters=24,
+        backend="xla",
+    )
+    sharded = make_sharded_fused_admm_rollout(mesh, plant32, op, **kw)
+    res_s, metrics = sharded(*args)
+    ref = make_fused_admm_rollout(plant32, op, **kw)(*args)
+    # Per-shard batches change the dispatch shapes, so f32 rounding
+    # differs slightly and the loop amplifies it ~60x (measured
+    # sensitivity); well inside the 1e-4 budget, not bitwise.
+    np.testing.assert_allclose(
+        np.asarray(res_s.u_sys), np.asarray(ref.u_sys), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.solver_state.s),
+        np.asarray(ref.solver_state.s), atol=5e-5,
+    )
+    assert float(metrics["frac_converged"]) == 1.0
+    np.testing.assert_allclose(
+        float(metrics["mean_final_cost"]),
+        float(np.asarray(ref.costs[:, -1]).mean()), rtol=1e-5,
+    )
