@@ -771,17 +771,46 @@ def _make_post_cost_fn(block_map: AffineBlockMap, n_mpc_step: int,
         n_solves = -(-n_steps // nb)
         u_full = jnp.concatenate([u_past, u_sys], axis=1)
         y_full = jnp.concatenate([y_past, y_sys], axis=1)
+        n_theta = n_hist * (m + p)
+        # Chunk over solves: materializing the full (B, n_solves,
+        # n_theta) window stack is ~21 GB at the large-plant benchmark
+        # shape (measured HBM OOM); per-chunk transients stay ~0.5 GB.
+        C = max(
+            1, min(n_solves, int(5e8 / max(B * n_theta * 4, 1)))
+        )
+        n_chunks = -(-n_solves // C)
+        pad_t = (n_chunks * C - n_solves) * nb + n_hist
+        u_pad = jnp.concatenate(
+            [u_full, jnp.zeros((B, pad_t, m), u_full.dtype)], axis=1
+        )
+        y_pad = jnp.concatenate(
+            [y_full, jnp.zeros((B, pad_t, p), y_full.dtype)], axis=1
+        )
+        seg_len = (C - 1) * nb + n_hist
         idx = (
-            jnp.arange(n_solves)[:, None] * nb
-            + jnp.arange(n_hist)[None, :]
-        )  # (n_solves, n)
-        thu = jnp.take(u_full, idx, axis=1).reshape(B, n_solves, -1)
-        thy = jnp.take(y_full, idx, axis=1).reshape(B, n_solves, -1)
-        theta = jnp.concatenate([thu, thy], axis=2)
-        with jax.default_matmul_precision("high"):
-            z = theta @ Lf  # (B, n_solves, rank)
-            lin = theta @ q
-        return jnp.sum(z * z, axis=2) + lin + r
+            jnp.arange(C)[:, None] * nb + jnp.arange(n_hist)[None, :]
+        )  # (C, n_hist)
+
+        def chunk_cost(c):
+            start = c * C * nb
+            su = jax.lax.dynamic_slice_in_dim(
+                u_pad, start, seg_len, axis=1
+            )
+            sy = jax.lax.dynamic_slice_in_dim(
+                y_pad, start, seg_len, axis=1
+            )
+            thu = jnp.take(su, idx, axis=1).reshape(B, C, -1)
+            thy = jnp.take(sy, idx, axis=1).reshape(B, C, -1)
+            theta = jnp.concatenate([thu, thy], axis=2)
+            with jax.default_matmul_precision("high"):
+                z = theta @ Lf  # (B, C, rank)
+                lin = theta @ q
+            return jnp.sum(z * z, axis=2) + lin + r  # (B, C)
+
+        costs = jax.lax.map(
+            chunk_cost, jnp.arange(n_chunks)
+        )  # (n_chunks, B, C)
+        return costs.transpose(1, 0, 2).reshape(B, -1)[:, :n_solves]
 
     return cost_fn
 
