@@ -772,45 +772,44 @@ def _make_post_cost_fn(block_map: AffineBlockMap, n_mpc_step: int,
         u_full = jnp.concatenate([u_past, u_sys], axis=1)
         y_full = jnp.concatenate([y_past, y_sys], axis=1)
         n_theta = n_hist * (m + p)
-        # Chunk over solves: materializing the full (B, n_solves,
-        # n_theta) window stack is ~21 GB at the large-plant benchmark
-        # shape (measured HBM OOM); per-chunk transients stay ~0.5 GB.
-        C = max(
-            1, min(n_solves, int(5e8 / max(B * n_theta * 4, 1)))
-        )
-        n_chunks = -(-n_solves // C)
-        pad_t = (n_chunks * C - n_solves) * nb + n_hist
-        u_pad = jnp.concatenate(
-            [u_full, jnp.zeros((B, pad_t, m), u_full.dtype)], axis=1
-        )
-        y_pad = jnp.concatenate(
-            [y_full, jnp.zeros((B, pad_t, p), y_full.dtype)], axis=1
-        )
-        seg_len = (C - 1) * nb + n_hist
-        idx = (
-            jnp.arange(C)[:, None] * nb + jnp.arange(n_hist)[None, :]
-        )  # (C, n_hist)
+        # The window stack is built from n_hist SHIFTED STRIDED SLICES
+        # (no gathers: window offset j of solve k is time index
+        # k*nb + j of the past-prepended trajectory), concatenated
+        # along features -- then ONE matmul per batch chunk. Chunked
+        # over BATCH because the full (B, n_solves, n_theta) stack is
+        # ~21 GB at the large-plant benchmark shape (measured HBM
+        # OOM); chunk transients stay ~0.5 GB.
+        cb = B
+        while cb > 8 and cb * n_solves * n_theta * 4 > 5e8:
+            cb //= 2
+        while B % cb:
+            cb -= 1
+        t_hi = (n_solves - 1) * nb + 1
+
+        def windows(xb, width):
+            parts = [
+                jax.lax.slice(
+                    xb, (0, j, 0), (cb, j + t_hi, width), (1, nb, 1)
+                )
+                for j in range(n_hist)
+            ]
+            return jnp.concatenate(parts, axis=2)
 
         def chunk_cost(c):
-            start = c * C * nb
-            su = jax.lax.dynamic_slice_in_dim(
-                u_pad, start, seg_len, axis=1
-            )
-            sy = jax.lax.dynamic_slice_in_dim(
-                y_pad, start, seg_len, axis=1
-            )
-            thu = jnp.take(su, idx, axis=1).reshape(B, C, -1)
-            thy = jnp.take(sy, idx, axis=1).reshape(B, C, -1)
-            theta = jnp.concatenate([thu, thy], axis=2)
+            ub = jax.lax.dynamic_slice_in_dim(u_full, c * cb, cb, 0)
+            yb = jax.lax.dynamic_slice_in_dim(y_full, c * cb, cb, 0)
+            theta = jnp.concatenate(
+                [windows(ub, m), windows(yb, p)], axis=2
+            )  # (cb, n_solves, n_theta)
             with jax.default_matmul_precision("high"):
-                z = theta @ Lf  # (B, C, rank)
+                z = theta @ Lf  # (cb, n_solves, rank)
                 lin = theta @ q
-            return jnp.sum(z * z, axis=2) + lin + r  # (B, C)
+            return jnp.sum(z * z, axis=2) + lin + r  # (cb, n_solves)
 
-        costs = jax.lax.map(
-            chunk_cost, jnp.arange(n_chunks)
-        )  # (n_chunks, B, C)
-        return costs.transpose(1, 0, 2).reshape(B, -1)[:, :n_solves]
+        if cb == B:
+            return chunk_cost(0)
+        costs = jax.lax.map(chunk_cost, jnp.arange(B // cb))
+        return costs.reshape(B, n_solves)
 
     return cost_fn
 
