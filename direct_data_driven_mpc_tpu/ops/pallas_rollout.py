@@ -731,7 +731,7 @@ def _make_xla_rollout_from_fused(
 
 
 def _make_post_cost_fn(block_map: AffineBlockMap, n_mpc_step: int,
-                       rank_rtol: float = 1e-9):
+                       rank_rtol: float = 1e-6):
     """Post-pass per-solve cost evaluation for ``cost_mode="post"``.
 
     Reconstructs each solve's past window theta from the emitted
@@ -769,41 +769,47 @@ def _make_post_cost_fn(block_map: AffineBlockMap, n_mpc_step: int,
         p = y_past.shape[2]
         n_steps = u_sys.shape[1]
         n_solves = -(-n_steps // nb)
-        u_full = jnp.concatenate([u_past, u_sys], axis=1)
-        y_full = jnp.concatenate([y_past, y_sys], axis=1)
-        n_theta = n_hist * (m + p)
-        # The window stack is built from n_hist SHIFTED STRIDED SLICES
-        # (no gathers: window offset j of solve k is time index
-        # k*nb + j of the past-prepended trajectory), concatenated
-        # along features -- then ONE matmul per batch chunk. Chunked
-        # over BATCH because the full (B, n_solves, n_theta) stack is
-        # ~21 GB at the large-plant benchmark shape (measured HBM
-        # OOM); chunk transients stay ~0.5 GB.
+        rank = Lf.shape[1]
+        # The window quadratic IS a 1-D convolution over time: window
+        # offset j of solve k is time index k*nb + j of the
+        # past-prepended trajectory, so z_k = sum_j x[k*nb+j] @ L_j --
+        # a length-n_hist stride-nb conv with an (n_hist, m+p, rank)
+        # kernel. Measured on-chip at the large-plant shape: 67 ms vs
+        # 418 ms for an explicit slice+concat window stack (the
+        # relayouts dominate) and vs an HBM OOM for a materialized
+        # (B, n_solves, n_theta) gather. Chunked over batch to bound
+        # the (cb, n_solves, rank) transient.
+        x = jnp.concatenate([u_past, u_sys], axis=1)
+        yf = jnp.concatenate([y_past, y_sys], axis=1)
+        x = jnp.concatenate([x, yf], axis=2)  # (B, n_hist+T, m+p)
+        # Conv kernels from the window-major rows of Lf / q.
+        Ku = Lf[: n_hist * m].reshape(n_hist, m, rank)
+        Ky = Lf[n_hist * m :].reshape(n_hist, p, rank)
+        Kz = jnp.concatenate([Ku, Ky], axis=1)  # (n_hist, m+p, rank)
+        qu = q[: n_hist * m].reshape(n_hist, m, 1)
+        qy = q[n_hist * m :].reshape(n_hist, p, 1)
+        Kq = jnp.concatenate([qu, qy], axis=1)
+        # Trim so VALID conv emits exactly n_solves windows.
+        t_need = (n_solves - 1) * nb + n_hist
+        x = x[:, :t_need]
+
         cb = B
-        while cb > 8 and cb * n_solves * n_theta * 4 > 5e8:
+        while cb > 8 and cb * n_solves * rank * 4 > 5e8:
             cb //= 2
         while B % cb:
             cb -= 1
-        t_hi = (n_solves - 1) * nb + 1
-
-        def windows(xb, width):
-            parts = [
-                jax.lax.slice(
-                    xb, (0, j, 0), (cb, j + t_hi, width), (1, nb, 1)
-                )
-                for j in range(n_hist)
-            ]
-            return jnp.concatenate(parts, axis=2)
 
         def chunk_cost(c):
-            ub = jax.lax.dynamic_slice_in_dim(u_full, c * cb, cb, 0)
-            yb = jax.lax.dynamic_slice_in_dim(y_full, c * cb, cb, 0)
-            theta = jnp.concatenate(
-                [windows(ub, m), windows(yb, p)], axis=2
-            )  # (cb, n_solves, n_theta)
+            xb = jax.lax.dynamic_slice_in_dim(x, c * cb, cb, 0)
             with jax.default_matmul_precision("high"):
-                z = theta @ Lf  # (cb, n_solves, rank)
-                lin = theta @ q
+                z = jax.lax.conv_general_dilated(
+                    xb, Kz, window_strides=(nb,), padding="VALID",
+                    dimension_numbers=("NHC", "HIO", "NHC"),
+                )  # (cb, n_solves, rank)
+                lin = jax.lax.conv_general_dilated(
+                    xb, Kq, window_strides=(nb,), padding="VALID",
+                    dimension_numbers=("NHC", "HIO", "NHC"),
+                )[..., 0]
             return jnp.sum(z * z, axis=2) + lin + r  # (cb, n_solves)
 
         if cb == B:
