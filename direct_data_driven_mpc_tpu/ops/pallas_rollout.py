@@ -115,7 +115,8 @@ def suggest_solves_per_block(
 
 
 def _build_fused_operator(block_map: AffineBlockMap,
-                          include_cost: bool = True):
+                          include_cost: bool = True,
+                          cost_rank_rtol: float = 0.0):
     """Host-side (float64) assembly of the fused kernel operator.
 
     Returns ``(G, bias, Seg, dims)`` where per grid step the kernel
@@ -174,16 +175,26 @@ def _build_fused_operator(block_map: AffineBlockMap,
         OxiS_T, OxiW_T, xic = OtS_T, OtW_T, otc
 
     # Factor the PSD cost quadratic form: P = L L^T (clip tiny negative
-    # eigenvalues from float rounding).
+    # eigenvalues from float rounding). ``cost_rank_rtol > 0``
+    # truncates the factor's eigen-tail (relative eigenvalue mass) --
+    # exact to that tolerance; for the large-plant config the spectrum
+    # drops 8 orders of magnitude after ~half its rank, so rtol=1e-6
+    # halves the cost-column width (and the in-kernel VMEM it costs).
     P = np.asarray(block_map.cost_P, f64)
     evals, V = np.linalg.eigh(P)
+    if cost_rank_rtol > 0.0:
+        keep = evals > cost_rank_rtol * max(float(evals.max()), 1e-300)
+        V = V[:, keep]
+        evals = evals[keep]
     L = V * np.sqrt(np.clip(evals, 0.0, None))
+    rank = L.shape[1]
+    Kt = K * rank
     q = np.asarray(block_map.cost_q, f64)
     r = float(block_map.cost_r)
 
     # Z operator: xi_k -> L^T xi_k, i.e. columns of the xi operator
     # transformed per-solve-block by L.
-    def blockwise_L(Ot):  # (rows, Kt) -> (rows, Kt)
+    def blockwise_L(Ot):  # (rows, K*nxi) -> (rows, Kt)
         rows = Ot.shape[0]
         return (Ot.reshape(rows, K, nxi) @ L).reshape(rows, Kt)
 
@@ -242,7 +253,7 @@ def _build_fused_operator(block_map: AffineBlockMap,
     if include_cost:
         Seg = np.zeros((widths[3], widths[4]))
         for k in range(K):
-            Seg[k * nxi : (k + 1) * nxi, k] = 1.0
+            Seg[k * rank : (k + 1) * rank, k] = 1.0
     else:
         Seg = np.zeros((0, 0))
 
@@ -779,22 +790,28 @@ def _make_post_cost_fn(block_map: AffineBlockMap, n_mpc_step: int,
         # relayouts dominate) and vs an HBM OOM for a materialized
         # (B, n_solves, n_theta) gather. Chunked over batch to bound
         # the (cb, n_solves, rank) transient.
+        # Materialization barrier: the trajectories typically arrive
+        # as transposed views of kernel outputs; letting XLA fuse that
+        # relayout INTO the conv input was measured 25x slower than
+        # the standalone conv (layout pathology) -- force a clean
+        # materialization first.
+        u_sys, y_sys = jax.lax.optimization_barrier((u_sys, y_sys))
         x = jnp.concatenate([u_past, u_sys], axis=1)
         yf = jnp.concatenate([y_past, y_sys], axis=1)
         x = jnp.concatenate([x, yf], axis=2)  # (B, n_hist+T, m+p)
-        # Conv kernels from the window-major rows of Lf / q.
-        Ku = Lf[: n_hist * m].reshape(n_hist, m, rank)
-        Ky = Lf[n_hist * m :].reshape(n_hist, p, rank)
-        Kz = jnp.concatenate([Ku, Ky], axis=1)  # (n_hist, m+p, rank)
-        qu = q[: n_hist * m].reshape(n_hist, m, 1)
-        qy = q[n_hist * m :].reshape(n_hist, p, 1)
-        Kq = jnp.concatenate([qu, qy], axis=1)
+        # Conv kernel from the window-major rows of [Lf | q]: the
+        # linear term rides as ONE extra output channel of the same
+        # conv (a separate 1-channel conv lowered pathologically).
+        Lq = jnp.concatenate([Lf, q[:, None]], axis=1)
+        Ku = Lq[: n_hist * m].reshape(n_hist, m, rank + 1)
+        Ky = Lq[n_hist * m :].reshape(n_hist, p, rank + 1)
+        Kz = jnp.concatenate([Ku, Ky], axis=1)  # (n_hist, m+p, rank+1)
         # Trim so VALID conv emits exactly n_solves windows.
         t_need = (n_solves - 1) * nb + n_hist
         x = x[:, :t_need]
 
         cb = B
-        while cb > 8 and cb * n_solves * rank * 4 > 5e8:
+        while cb > 8 and cb * n_solves * rank * 4 > 1e9:
             cb //= 2
         while B % cb:
             cb -= 1
@@ -805,12 +822,12 @@ def _make_post_cost_fn(block_map: AffineBlockMap, n_mpc_step: int,
                 z = jax.lax.conv_general_dilated(
                     xb, Kz, window_strides=(nb,), padding="VALID",
                     dimension_numbers=("NHC", "HIO", "NHC"),
-                )  # (cb, n_solves, rank)
-                lin = jax.lax.conv_general_dilated(
-                    xb, Kq, window_strides=(nb,), padding="VALID",
-                    dimension_numbers=("NHC", "HIO", "NHC"),
-                )[..., 0]
-            return jnp.sum(z * z, axis=2) + lin + r  # (cb, n_solves)
+                )  # (cb, n_solves, rank + 1)
+            return (
+                jnp.sum(z[..., :rank] * z[..., :rank], axis=2)
+                + z[..., rank]
+                + r
+            )  # (cb, n_solves)
 
         if cb == B:
             return chunk_cost(0)
@@ -892,6 +909,7 @@ def make_fused_batched_rollout(
     backend: str = "pallas",
     cost_precision: str = "high",
     cost_mode: str = "inkernel",
+    cost_rank_rtol: float = 0.0,
 ):
     """Build a trace-safe batched fused rollout.
 
@@ -939,7 +957,10 @@ def make_fused_batched_rollout(
     n_outer = math.ceil(n_steps / steps_per_outer)
     n_solves = math.ceil(n_steps / n_mpc_step)
     pad = n_outer * steps_per_outer - n_steps
-    fused = _build_fused_operator(block_map, include_cost=include_cost)
+    fused = _build_fused_operator(
+        block_map, include_cost=include_cost,
+        cost_rank_rtol=cost_rank_rtol,
+    )
     post_cost = (
         None if include_cost
         else _make_post_cost_fn(block_map, n_mpc_step)
@@ -1035,6 +1056,7 @@ def make_amortized_pallas_run(
     backend: str = "pallas",
     cost_precision: str = "high",
     cost_mode: str = "inkernel",
+    cost_rank_rtol: float = 0.0,
     setpoints: jax.Array | None = None,
 ):
     """Amortized-throughput harness for the kernel (same contract as
@@ -1063,7 +1085,10 @@ def make_amortized_pallas_run(
     # Host prep happens HERE (outside the jit below): numpy on closure
     # constants inside a traced function would see tracers.
     include_cost = cost_mode == "inkernel"
-    fused = _build_fused_operator(block_map, include_cost=include_cost)
+    fused = _build_fused_operator(
+        block_map, include_cost=include_cost,
+        cost_rank_rtol=cost_rank_rtol,
+    )
     post_cost = (
         None if include_cost
         else _make_post_cost_fn(block_map, n_mpc_step)
