@@ -221,3 +221,60 @@ def test_cost_mode_post_rejects_tracking_maps():
         make_fused_batched_rollout(
             bm_t, n_steps=16, backend="xla", cost_mode="post"
         )
+
+
+def test_cost_rank_truncation_bounds():
+    """cost_rank_rtol truncates only the cost DIAGNOSTIC channel:
+    u/y stay bit-identical, and the cost error is bounded by the
+    dropped eigenvalue mass (here: aggressive rtol to force real
+    truncation; 1e-6 default drops nothing on this config)."""
+    import numpy as np
+
+    from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
+        make_fused_batched_rollout,
+    )
+
+    plant, ctrl, rng = _make_setup(n_mpc_step=1)
+    bm = build_affine_block_map(
+        plant.as_params(dtype=np.float32), ctrl._op, n=4, m=2, p=2,
+        solves_per_block=4, dtype=jnp.float32,
+    )
+    evals = np.linalg.eigvalsh(np.asarray(bm.cost_P, np.float64))
+    rtol = float(evals[len(evals) // 2] / evals[-1]) * 1.01  # drop half
+    B, T = 2, 24
+    x0s = jnp.tile(
+        jnp.asarray(plant.get_state(), jnp.float32)[None], (B, 1)
+    )
+    ups = jnp.tile(
+        jnp.asarray(ctrl.u_past.reshape(4, 2), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    yps = jnp.tile(
+        jnp.asarray(ctrl.y_past.reshape(4, 2), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    Ws = jnp.asarray(0.002 * rng.uniform(-1, 1, (B, T, 2)), jnp.float32)
+    full = make_fused_batched_rollout(bm, T, backend="xla")(
+        x0s, ups, yps, Ws
+    )
+    trunc = make_fused_batched_rollout(
+        bm, T, backend="xla", cost_rank_rtol=rtol
+    )(x0s, ups, yps, Ws)
+    np.testing.assert_array_equal(
+        np.asarray(trunc.u_sys), np.asarray(full.u_sys)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(trunc.y_sys), np.asarray(full.y_sys)
+    )
+    # Truncation drops PSD mass, so truncated costs UNDER-estimate,
+    # by at most (sum of dropped eigenvalues) * max ||theta||^2.
+    c_full = np.asarray(full.costs, np.float64)
+    c_tr = np.asarray(trunc.costs, np.float64)
+    assert np.all(c_tr <= c_full + 1e-3)
+    dropped = evals[evals <= rtol * evals[-1]].sum()
+    th_max = 16 * max(
+        np.abs(np.asarray(full.u_sys)).max(),
+        np.abs(np.asarray(full.y_sys)).max(),
+        1.0,
+    ) ** 2
+    assert np.abs(c_tr - c_full).max() <= dropped * th_max
