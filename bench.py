@@ -312,7 +312,7 @@ def run_fused_admm_config(box: bool = False) -> dict:
         # All-3x iterations: 1-pass bf16 noise (~3e-3 at |v|~0.85)
         # stalls the fixed point (measured sweep vs the active-set
         # golden); (0,12,2) is the 100%-converged minimum + margin.
-        iters, cold, tol = (0, 14, 2), 60, 2e-5
+        iters, cold, tol = (0, 14, 4), 60, 2e-5
         cfg_name = "four_tank_box"
     else:
         # (4,4,2) is the 100%-converged minimum vs the golden; one

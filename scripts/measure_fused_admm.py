@@ -89,7 +89,7 @@ def main():
         op = compute_box_admm_operator_np(
             ctrl.spec, u_bounds=(-0.85, 0.85), rho=1.0
         )
-        iters, cold, tol = (0, 14, 2), 60, 2e-5
+        iters, cold, tol = (0, 14, 4), 60, 2e-5
     else:
         op = compute_admm_operator_np(ctrl.spec)
         iters, cold, tol = (4, 5, 2), 24, 1e-5
