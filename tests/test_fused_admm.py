@@ -326,3 +326,81 @@ def test_sharded_fused_admm_matches_unsharded(golden):
         float(metrics["mean_final_cost"]),
         float(np.asarray(ref.costs[:, -1]).mean()), rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize("L,expected_q", [(8, 4), (40, 1)])
+def test_fused_admm_pack_factors(L, expected_q):
+    """The packing generalizes: q=4 (nbox <= 32) and q=1 (nbox > 64)
+    paths must match the generic engine too (the golden configs only
+    exercise q=2)."""
+    from direct_data_driven_mpc_tpu.models.lti_model import LTIModel
+
+    rng = np.random.default_rng(3)
+    plant_model = LTIModel(
+        A=np.array([[0.9, 0.2], [0.0, 0.8]]),
+        B=np.array([[0.0], [1.0]]),
+        C=np.array([[1.0, 0.3], [0.2, 0.5]]),
+        D=np.zeros((2, 1)),
+        eps_max=0.002,
+    )
+    n, m, p, N = 2, 1, 2, 30 + 4 * L
+    u_d = rng.uniform(-1, 1, (N, m))
+    w_d = 0.002 * rng.uniform(-1, 1, (N, p))
+    y_d = plant_model.simulate(u_d, w_d, N)
+    u_s = np.array([[0.5]])
+    y_s = plant_model.get_equilibrium_output_from_input(
+        np.array([0.5])
+    ).reshape(-1, 1)
+    ctrl = DirectDataDrivenMPCController(
+        n=n, m=m, p=p, u_d=u_d, y_d=y_d, L=L,
+        Q=3.0 * np.eye(p * L), R=1e-4 * np.eye(m * L),
+        u_s=u_s, y_s=y_s,
+        eps_max=0.002, lamb_alpha=50.0, lamb_sigma=1000.0, c=0.1,
+        slack_var_constraint_type=SlackVarConstraintTypes.CONVEX,
+        controller_type=DataDrivenMPCType.ROBUST, n_mpc_step=1,
+    )
+    op = compute_admm_operator_np(ctrl.spec)
+    nbox = op["v_c"].shape[0]
+    assert pick_pack_factor(nbox) == expected_q, (L, nbox)
+    params32 = plant_model.as_params(dtype=np.float32)
+    T, B = 24, 4
+    x0s = jnp.tile(
+        jnp.asarray(plant_model.get_state(), jnp.float32)[None], (B, 1)
+    )
+    ups = jnp.tile(
+        jnp.asarray(ctrl.u_past.reshape(n, m), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    yps = jnp.tile(
+        jnp.asarray(ctrl.y_past.reshape(n, p), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    W = jnp.asarray(0.002 * rng.uniform(-1, 1, (B, T, p)), jnp.float32)
+    sol = ctrl.admm_solver(dtype=jnp.float32)
+    ref = jax.vmap(
+        lambda a, b, c, w: closed_loop_rollout(
+            params32, sol, a, b, c, w, n_steps=T, admm_iters=80
+        )
+    )(x0s, ups, yps, W)
+    # Schedules are config-specific; this test checks PACKING, so a
+    # generous schedule + the f32-budget tolerance.
+    run = make_fused_admm_rollout(
+        params32, op, n=n, m=m, p=p, n_steps=T, iters=(0, 16, 6),
+        cold_iters=60, backend="xla", tol=1e-4,
+    )
+    res = run(x0s, ups, yps, W)
+    assert np.abs(
+        np.asarray(res.u_sys) - np.asarray(ref.u_sys)
+    ).max() < 1e-4
+    assert float(np.asarray(res.converged).mean()) == 1.0
+    # Kernel (interpret) bit-parity at this pack factor too.
+    # batch_block must cover the whole packed batch for bitwise
+    # comparison (smaller blocks change XLA's row grouping on CPU).
+    rk = make_fused_admm_rollout(
+        params32, op, n=n, m=m, p=p, n_steps=T, iters=(0, 16, 6),
+        cold_iters=60, backend="pallas", interpret=True,
+        batch_block=B // expected_q, tol=1e-4,
+    )(x0s, ups, yps, W)
+    np.testing.assert_array_equal(
+        np.asarray(rk.u_sys), np.asarray(res.u_sys)
+    )
