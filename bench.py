@@ -911,7 +911,12 @@ def run_config(config: str) -> dict:
         if use_pallas:
             # The fused single-matmul kernel compiles in seconds at
             # this shape; override with `bench.py pallas <B>` for
-            # other batch sizes (B=262144 is the headline).
+            # other batch sizes. B=16384 is the headline: the chip
+            # saturates from B~16k and the per-solve rate DEGRADES at
+            # larger batches (measured round 4, K=50, R=512 amortized:
+            # B=16384 4.06 G on-device vs B=32768 ~3.9 G vs B=262144
+            # 3.53 G -- the big-batch regime is output-DMA-bound), so
+            # the small batch + proportionally larger R wins.
             B = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
         plant_model = LTIModel(
             A=np.array(
@@ -1049,11 +1054,15 @@ def run_config(config: str) -> dict:
         f"[{engine_name} engine]")
     assert bool(ok), "non-finite or non-converged lanes"
 
-    if engine_name == "pallas" and config != "large_plant":
+    if engine_name.startswith("pallas") and config != "large_plant":
         # The mixed-precision kernel's per-rollout dropped to ~30 ms at
         # B=262144 (~15 ms long_horizon), so R=16 left the ~55 ms relay
-        # constant at 11-19% of the timed wall; R=32 halves that.
-        R_big = 32
+        # constant at 11-19% of the timed wall; R=32 halves that. The
+        # per-rollout time scales ~linearly with B while the relay
+        # constant does not, so smaller batches need proportionally more
+        # reps for the same amortization (R is a traced trip count --
+        # one compile serves every R).
+        R_big = min(1024, max(32, 64 * (262144 // max(B, 1))))
     tm = time_amortized(run, args, R_small=1, R_big=R_big)
     solves = B * T * R_big
     solves_per_s = solves / tm["t_big"]
@@ -1112,8 +1121,9 @@ def run_config(config: str) -> dict:
 
 
 def try_pallas_headline(timeout_s: float = 1500.0) -> dict | None:
-    """Attempt the Pallas fused-rollout kernel on the full headline
-    shape (B=262144) in a TIME-BOXED subprocess.
+    """Attempt the Pallas fused-rollout kernel on the headline shape
+    (B=16384, the measured per-solve sweet spot -- see run_config) in a
+    TIME-BOXED subprocess.
 
     Measured on this chip the fused-operand kernel beats the classic
     XLA condensed engine 3.3x at the headline shape (2.05G vs 656M
@@ -1125,11 +1135,11 @@ def try_pallas_headline(timeout_s: float = 1500.0) -> dict | None:
     """
     import subprocess
 
-    log(f"attempting Pallas headline (B=262144, timeout {timeout_s:.0f}s; "
+    log(f"attempting Pallas headline (B=16384, timeout {timeout_s:.0f}s; "
         "falls back to the XLA condensed engine on failure)...")
     try:
         proc = subprocess.run(
-            [sys.executable, __file__, "pallas", "262144"],
+            [sys.executable, __file__, "pallas", "16384"],
             capture_output=True, text=True, timeout=timeout_s,
         )
     except subprocess.TimeoutExpired:
