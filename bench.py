@@ -242,9 +242,10 @@ def run_fused_admm_config(box: bool = False) -> dict:
     iteration schedule. Falls back to the XLA twin (identical math) if
     the Mosaic compile fails, then to the generic scan engine.
 
-    Measured round 4: convex 115.5M solves/s at B=65536 (2.3x the
-    round-3 generic engine), 100% converged lanes, kernel within
-    7.5e-6 of the f64 active-set golden on-chip.
+    Measured round 4 (re-confirmed end of round): convex 102.1M
+    solves/s at B=65536 (2.0x the round-3 generic engine), 100%
+    converged lanes, kernel within 8.1e-6 of the f64 active-set
+    golden on-chip.
     """
     import jax
     import jax.numpy as jnp
