@@ -1066,7 +1066,7 @@ def run_config(config: str) -> dict:
         # constant does not, so smaller batches need proportionally more
         # reps for the same amortization (R is a traced trip count --
         # one compile serves every R).
-        R_big = min(1024, max(32, 64 * (262144 // max(B, 1))))
+        R_big = min(2048, max(32, 128 * (262144 // max(B, 1))))
     tm = time_amortized(run, args, R_small=1, R_big=R_big)
     solves = B * T * R_big
     solves_per_s = solves / tm["t_big"]
