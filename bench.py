@@ -899,12 +899,12 @@ def run_config(config: str) -> dict:
         # 65536x400x10 trajectories would be ~100 GB
         emit_traj = config == "pallas_large"
     else:
-        # Headline: saturating Monte-Carlo batch of the paper's robust
-        # four-tank controller. The canonical config-4 shape (B=4096)
-        # measures ~27M solves/s on this tunnel because a fixed
-        # per-call relay cost dominates small calls; the chip saturates
-        # around B=256k (504M solves/s with trajectories emitted,
-        # readback-synced).
+        # Headline: Monte-Carlo batch of the paper's robust four-tank
+        # controller. A single un-amortized B=4096 call reads ~27M
+        # solves/s on this tunnel (the fixed per-call relay cost
+        # dominates); the amortized harness (R traced reps per call)
+        # removes that floor, and at full amortization SMALL batches
+        # win per solve (see the kernel-branch comment below).
         B, T, K = 262144, 400, 100
         n, m, p = 4, 2, 2
         if config == "long_horizon":
@@ -915,13 +915,15 @@ def run_config(config: str) -> dict:
         if use_pallas:
             # The fused single-matmul kernel compiles in seconds at
             # this shape; override with `bench.py pallas <B>` for
-            # other batch sizes. B=16384 is the headline: the chip
-            # saturates from B~16k and the per-solve rate DEGRADES at
-            # larger batches (measured round 4, K=50, R=512 amortized:
-            # B=16384 4.06 G on-device vs B=32768 ~3.9 G vs B=262144
-            # 3.53 G -- the big-batch regime is output-DMA-bound), so
-            # the small batch + proportionally larger R wins.
-            B = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+            # other batch sizes. B=4096 is the headline -- the
+            # reference's canonical config-4 scenario count, and the
+            # measured per-solve sweet spot: the on-device rate
+            # DEGRADES monotonically with batch (round-4 K=50 sweep,
+            # amortized: B=4096 4.67 G, B=8192 4.45 G, B=16384 4.09 G,
+            # B=32768 3.93 G, B=262144 3.53 G -- the big-batch regime
+            # is output-DMA/layout-bound), so the small batch +
+            # proportionally more traced reps per call wins.
+            B = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
         plant_model = LTIModel(
             A=np.array(
                 [
@@ -1066,7 +1068,7 @@ def run_config(config: str) -> dict:
         # constant does not, so smaller batches need proportionally more
         # reps for the same amortization (R is a traced trip count --
         # one compile serves every R).
-        R_big = min(2048, max(32, 128 * (262144 // max(B, 1))))
+        R_big = min(4096, max(32, 64 * (262144 // max(B, 1))))
     tm = time_amortized(run, args, R_small=1, R_big=R_big)
     solves = B * T * R_big
     solves_per_s = solves / tm["t_big"]
@@ -1126,7 +1128,7 @@ def run_config(config: str) -> dict:
 
 def try_pallas_headline(timeout_s: float = 1500.0) -> dict | None:
     """Attempt the Pallas fused-rollout kernel on the headline shape
-    (B=16384, the measured per-solve sweet spot -- see run_config) in a
+    (B=4096, the measured per-solve sweet spot -- see run_config) in a
     TIME-BOXED subprocess.
 
     Measured on this chip the fused-operand kernel beats the classic
@@ -1139,11 +1141,11 @@ def try_pallas_headline(timeout_s: float = 1500.0) -> dict | None:
     """
     import subprocess
 
-    log(f"attempting Pallas headline (B=16384, timeout {timeout_s:.0f}s; "
+    log(f"attempting Pallas headline (B=4096, timeout {timeout_s:.0f}s; "
         "falls back to the XLA condensed engine on failure)...")
     try:
         proc = subprocess.run(
-            [sys.executable, __file__, "pallas", "16384"],
+            [sys.executable, __file__, "pallas", "4096"],
             capture_output=True, text=True, timeout=timeout_s,
         )
     except subprocess.TimeoutExpired:
