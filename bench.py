@@ -610,10 +610,10 @@ def run_tracking_config() -> dict:
     )
     from direct_data_driven_mpc_tpu.parallel.batch import draw_noise_batch
 
-    # Same shape re-tune as the headline (round 4): the chip saturates
-    # from B~16k and the per-solve rate degrades at larger batches, so
-    # the small batch + proportionally more traced reps wins.
-    B, T = 16384, 400
+    # Same shape re-tune as the headline (round 4): the per-solve rate
+    # degrades monotonically with batch, so the canonical small batch
+    # + proportionally more traced reps per call wins.
+    B, T = 4096, 400
     n, m, p, N, L = 4, 2, 2, 400, 30
     dtype = jnp.float32
     rng = np.random.default_rng(0)
@@ -702,7 +702,7 @@ def run_tracking_config() -> dict:
     assert np.abs(y_end - 0.85 * r0[2:]).max() < 0.05, y_end
     log(f"retarget probe: y(T)={y_end[0]} vs target {0.85 * r0[2:]}")
 
-    R_big = min(1024, max(32, 64 * (262144 // B)))
+    R_big = min(4096, max(32, 64 * (262144 // B)))
     tm = time_amortized(run, (x0s, ups, yps, Ws), R_small=1, R_big=R_big)
     solves_per_s = B * T * R_big / tm["t_big"]
     log(f"amortized: R=1 {tm['t_small']:.3f}s, R={R_big} "
