@@ -62,7 +62,7 @@ def log(msg: str) -> None:
 
 
 def measure_baseline_single_core(
-    spec, theta, n_solves: int = 10, n_trials: int = 5
+    spec, theta, n_solves: int = 30, n_trials: int = 7
 ) -> float:
     """Single-core reference-style per-step work: rebuild + dense-solve
     the full KKT system from scratch each step. Returns solves/s.
@@ -242,7 +242,7 @@ def run_fused_admm_config(box: bool = False) -> dict:
     iteration schedule. Falls back to the XLA twin (identical math) if
     the Mosaic compile fails, then to the generic scan engine.
 
-    Measured round 4 (re-confirmed end of round): convex 102.1M
+    Measured round 4 (published in BASELINE.md): convex 102.2M
     solves/s at B=65536 (2.0x the round-3 generic engine), 100%
     converged lanes, kernel within 8.1e-6 of the f64 active-set
     golden on-chip.
@@ -1060,7 +1060,11 @@ def run_config(config: str) -> dict:
         f"[{engine_name} engine]")
     assert bool(ok), "non-finite or non-converged lanes"
 
-    if engine_name.startswith("pallas") and config != "large_plant":
+    if engine_name.startswith("pallas") and config not in (
+        "large_plant", "pallas_large"
+    ):
+        # (both large-plant configs excluded: at B=16384 the formula
+        # would give R_big=1024 with ~2 GB/rep of emitted trajectories)
         # The mixed-precision kernel's per-rollout dropped to ~30 ms at
         # B=262144 (~15 ms long_horizon), so R=16 left the ~55 ms relay
         # constant at 11-19% of the timed wall; R=32 halves that. The
@@ -1131,9 +1135,9 @@ def try_pallas_headline(timeout_s: float = 1500.0) -> dict | None:
     (B=4096, the measured per-solve sweet spot -- see run_config) in a
     TIME-BOXED subprocess.
 
-    Measured on this chip the fused-operand kernel beats the classic
-    XLA condensed engine 3.3x at the headline shape (2.05G vs 656M
-    solves/s amortized; 47.7 vs 156 ms/rollout). Its Mosaic compile is
+    Measured on this chip (round 4, B=4096 x R=4096) the fused-operand
+    kernel beats the classic XLA condensed engine 4.94x at the headline
+    shape (4.51G vs 913M solves/s amortized). Its Mosaic compile is
     20-30 s for this kernel, but compile time through this image's
     remote-compile tunnel is variable (the round-2 kernel once took
     707 s), so the subprocess + timeout stays: on any failure the

@@ -1066,8 +1066,11 @@ def make_amortized_pallas_run(
     ``setpoints``: per-block schedule for tracking maps (fixed across
     repetitions; the rolled noise already varies the work).
 
-    Repetition ``i`` rotates the packed noise by ``i`` outer blocks (a
-    distinct bounded-noise realization per rep; nothing CSE-able) and
+    Repetition ``i`` rotates the packed noise by ``i`` outer blocks
+    (realizations distinct modulo ``n_outer`` -- with R > n_outer the
+    rotations cycle, but the fori_loop still executes every rep's full
+    device work, so the timing stays valid; nothing is CSE-able because
+    the checksum carries across reps) and
     every repetition's outputs -- applied inputs, measured outputs,
     per-solve costs (computed in-kernel), final states -- fold into a
     carried checksum so nothing is dead-code-eliminated.

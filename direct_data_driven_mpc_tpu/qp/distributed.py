@@ -188,12 +188,22 @@ def build_sharded_kkt(
 
 
 def _make_local_solver(
-    meta: dict, axis: str, tol: float, max_iters: int, dtype
+    meta: dict, axis: str, tol: float, max_iters: int, dtype,
+    refine: int = 0,
 ):
     """Build the PER-SHARD solve body (runs INSIDE shard_map): the KKT
     matvec, the global inner product, and preconditioned MINRES with a
     while_loop tolerance exit. Returns ``local_solve(op, theta) ->
-    (x_alpha_local, x_rest, rel_residual, iters)``."""
+    (x_alpha_local, x_rest, rel_residual, iters)``.
+
+    ``refine``: number of iterative-refinement restarts. f32 MINRES
+    stagnates near its roundoff floor with the SOLUTION error still
+    ~kappa x the residual (measured on the four-tank KKT: res 5.8e-6
+    but max|du| 5.4e-4 vs the f64-factored exact map). Each restart
+    re-solves K dx = rhs - K x from a fresh Krylov space, whose exit
+    test is relative to the (small) restart RHS -- one restart drops
+    max|du| below 1e-5 (tests/test_distributed_qp.py). Total reported
+    ``iters`` includes the restart passes."""
     d = meta["dims"]
     robust = meta["robust"]
     n_u, n_y = d.n_u, d.n_y
@@ -276,11 +286,12 @@ def _make_local_solver(
     zero = jnp.asarray(0.0, dtype=dtype)
     tol_t = jnp.asarray(tol, dtype=dtype)
 
-    def local_solve(op, rhs_alpha, rhs_rest):
+    def _minres_core(op, rhs_alpha, rhs_rest):
         """Preconditioned MINRES (Paige-Saunders recurrences with
         M = diag Jacobi) on the symmetric (possibly singular,
         consistent) KKT system. Early exit when the preconditioned
-        residual estimate phibar drops below tol * beta1."""
+        residual estimate phibar drops below tol * beta1. Returns
+        ``(x_alpha, x_rest, iters)``."""
 
         def prec(a, r):
             return a / op.pc_alpha, r / op.pc_rest
@@ -361,7 +372,18 @@ def _make_local_solver(
                     w_a, w_r, k + 1)
 
         st = jax.lax.while_loop(cond, body, init)
-        x_a, x_r, iters = st[0], st[1], st[19]
+        return st[0], st[1], st[19]
+
+    def local_solve(op, rhs_alpha, rhs_rest):
+        x_a, x_r, iters = _minres_core(op, rhs_alpha, rhs_rest)
+        for _ in range(refine):
+            Ax_a, Ax_r = kkt_matvec(op, x_a, x_r)
+            dx_a, dx_r, it2 = _minres_core(
+                op, rhs_alpha - Ax_a, rhs_rest - Ax_r
+            )
+            x_a = x_a + dx_a
+            x_r = x_r + dx_r
+            iters = iters + it2
         # TRUE residual at exit (one extra matvec; phibar is the
         # preconditioned estimate).
         Ax_a, Ax_r = kkt_matvec(op, x_a, x_r)
@@ -411,12 +433,15 @@ def make_distributed_kkt_solver(
     max_iters: int = 1000,
     dtype=jnp.float32,
     precondition: bool = True,
+    refine: int = 0,
 ):
     """Build ``solve(theta) -> (u_opt, residual_norm, iterations)``:
     preconditioned MINRES on the KKT system with the alpha dimension
     sharded over ``axis``, b(theta) assembled on device, and a
     while_loop tolerance exit (``tol=None`` -> 1e-8 in f64, 1e-5 in
-    f32).
+    f32). ``refine``: iterative-refinement restarts (see
+    :func:`_make_local_solver`) -- pass 1 to push the f32 solution
+    error well below the stagnated-residual floor.
 
     The per-device state vector is ``(alpha_shard, rest)`` where
     ``rest`` stacks the replicated blocks [ubar; ybar; (sigma); nu].
@@ -426,7 +451,9 @@ def make_distributed_kkt_solver(
         spec, mesh, axis, dtype=dtype, precondition=precondition
     )
     d = meta["dims"]
-    local_solve, _ = _make_local_solver(meta, axis, tol, max_iters, dtype)
+    local_solve, _ = _make_local_solver(
+        meta, axis, tol, max_iters, dtype, refine=refine
+    )
 
     in_specs = (
         ShardedKKTOperand(
@@ -486,6 +513,7 @@ def make_distributed_closed_loop(
     max_iters: int = 1000,
     dtype=jnp.float32,
     precondition: bool = True,
+    refine: int = 0,
 ):
     """Mesh closed-loop engine whose per-step QP solve is the
     alpha-sharded PMINRES solver: scenarios shard over ``data`` and
@@ -511,7 +539,7 @@ def make_distributed_closed_loop(
     d = meta["dims"]
     robust = meta["robust"]
     local_solve, layout = _make_local_solver(
-        meta, axis, tol, max_iters, dtype
+        meta, axis, tol, max_iters, dtype, refine=refine
     )
     u0, y0, s0v, v0 = (
         layout["u0"], layout["y0"], layout["s0"], layout["v0"]

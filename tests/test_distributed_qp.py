@@ -56,6 +56,31 @@ def test_distributed_minres_matches_direct(ctype, use_terminal, tol, atol):
     )
 
 
+def test_refinement_restart_beats_f32_floor():
+    """One iterative-refinement restart (refine=1) must cut BOTH the
+    true residual and the solution error vs the plain f32 solve on the
+    same problem -- f32 MINRES stagnates with the solution error still
+    ~kappa x the residual, and a restart re-solves for the correction
+    from a fresh Krylov space."""
+    spec, theta = _small_problem(DataDrivenMPCType.ROBUST)
+    mesh = make_scenario_mesh(n_data=2, n_model=4)
+    sol_map = compute_solution_map(spec, dtype=jnp.float64)
+    u_exact = np.asarray(solve_u(sol_map, jnp.asarray(theta)))
+    out = {}
+    for refine in (0, 1):
+        solve = make_distributed_kkt_solver(
+            spec, mesh, axis="model", dtype=jnp.float32, refine=refine
+        )
+        u, res, iters = solve(theta)
+        du = float(np.abs(np.asarray(u) - u_exact).max())
+        out[refine] = (float(res), du, int(iters))
+    res0, du0, it0 = out[0]
+    res1, du1, it1 = out[1]
+    assert res1 < res0 and du1 < du0, out
+    assert du1 < 1e-4, out
+    assert it1 > it0  # the restart pass's iterations are reported
+
+
 def test_preconditioner_cuts_iterations():
     """The Jacobi preconditioner must reduce iterations-to-tolerance on
     this badly block-scaled family (R ~ 1e-4 vs lamb_sigma ~ 1e3)."""
