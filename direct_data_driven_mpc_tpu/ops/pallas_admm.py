@@ -111,6 +111,59 @@ def _dot6(a, b):
     )
 
 
+def _bf16_split3(x):
+    """(hi, mid, lo) bf16 triple with ``hi + mid + lo == x`` EXACTLY
+    for normal f32: bit-masked truncation splits (8 + 8 + 8 mantissa
+    bits cover f32's 24), same elision-proof construction as
+    :func:`_bf16_split` (each masked chunk is exactly
+    bf16-representable and each f32 subtraction is exact)."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi32 = jax.lax.bitcast_convert_type(
+        xi & jnp.int32(-65536), jnp.float32  # 0xFFFF0000
+    )
+    r = x - hi32
+    ri = jax.lax.bitcast_convert_type(r, jnp.int32)
+    mid32 = jax.lax.bitcast_convert_type(
+        ri & jnp.int32(-65536), jnp.float32
+    )
+    lo = (r - mid32).astype(jnp.bfloat16)
+    return hi32.astype(jnp.bfloat16), mid32.astype(jnp.bfloat16), lo
+
+
+def _stack6(b_f32):
+    """Operator-side prep for :func:`_dot6s`: the 6-pass (f32-grade)
+    decomposition stacked into ONE contraction
+    ``[b_hi; b_mid; b_hi; b_lo; b_mid; b_hi]`` (bf16). Pairs with the
+    operand stack ``[a_hi | a_hi | a_mid | a_hi | a_mid | a_lo]`` to
+    give the six leading cross terms hh + hm + mh + hl + mm + lh --
+    the dropped ml/lm/ll terms are O(2^-32) relative, i.e. the same
+    accuracy class as ``Precision.HIGHEST``, but ONE MXU dispatch with
+    no padding waste per pass (a 48-lane operand 6-stacks to 288
+    lanes in one contraction instead of six 128-padded passes)."""
+    import numpy as np
+
+    b = np.asarray(b_f32, np.float32)
+    bi = b.view(np.int32)
+    hi32 = (bi & np.int32(-65536)).view(np.float32)
+    r = b - hi32
+    mid32 = (r.view(np.int32) & np.int32(-65536)).view(np.float32)
+    lo = r - mid32
+    parts = [hi32, mid32, hi32, lo, mid32, hi32]
+    return jnp.concatenate(
+        [jnp.asarray(x).astype(jnp.bfloat16) for x in parts], axis=0
+    )
+
+
+def _dot6s(a_f32, b6):
+    """f32-grade 6-pass decomposition as ONE MXU dot (see
+    :func:`_stack6`)."""
+    a_hi, a_mid, a_lo = _bf16_split3(a_f32)
+    a6 = jnp.concatenate(
+        [a_hi, a_hi, a_mid, a_hi, a_mid, a_lo], axis=1
+    )
+    return _dot1(a6, b6)
+
+
 def _normalize_admm_op(op: dict) -> dict:
     """Accept both qp/admm.py (CONVEX slack) and single-rung qp/box.py
     operator dicts; return a uniform float64 dict."""
@@ -136,6 +189,10 @@ def _normalize_admm_op(op: dict) -> dict:
         for k in ("v_c", "V_theta", "V_s", "u_c", "U_theta", "U_s",
                   "cost_P", "cost_q", "cost_r"):
             out[k] = np.asarray(op[k], np.float64)
+        # Optional setpoint-delta channels (return_setpoint_maps=True).
+        for k in ("V_r", "U_r", "cost_P_ext", "cost_q_ext", "r_bar"):
+            if k in op:
+                out[k] = np.asarray(op[k], np.float64)
         nbox = out["v_c"].shape[0]
         b = float(op["bound"])
         out["lo"] = np.full(nbox, -b)
@@ -224,6 +281,7 @@ def build_fused_admm_operator(
     p: int,
     n_mpc_step: int = 1,
     q: Optional[int] = None,
+    track: bool = False,
 ):
     """Host float64 assembly of the fused-engine operators.
 
@@ -236,6 +294,14 @@ def build_fused_admm_operator(
     - Slot-contiguous spaces: the condensed state (``q*S``), applied
       inputs (``q*nb*m``), outputs (``q*nb*p``), and cost features
       (``q*nxi``) pack slot-contiguously (slot j at ``j*width``).
+
+    ``track=True`` (requires an ``admm_op`` built with
+    ``return_setpoint_maps=True``): the cost-feature space extends to
+    ``[theta; t; dr]`` (``nxi += m + p``) so a per-block setpoint
+    delta enters the kernel as three ADDITIVE channels on the carried
+    maps -- ``vc += V_r dr``, ``pre += [U_r dr | q_dr . dr]``,
+    ``zth += Lc_dr' dr`` -- computed once per schedule on the host;
+    the iteration operator ``V_s`` is setpoint-independent.
     """
     import numpy as np
 
@@ -245,7 +311,8 @@ def build_fused_admm_operator(
     n_theta = n * (m + p)
     S = ns + n_theta
     nbox = op["v_c"].shape[0]
-    nxi = n_theta + nbox
+    mp = m + p
+    nxi = n_theta + nbox + (mp if track else 0)
     if op["V_theta"].shape[1] != n_theta:
         raise ValueError(
             f"operator theta width {op['V_theta'].shape[1]} != "
@@ -254,6 +321,12 @@ def build_fused_admm_operator(
     if nb * m > op["u_c"].shape[0]:
         raise ValueError(
             f"n_mpc_step ({nb}) exceeds the optimized horizon."
+        )
+    if track and "V_r" not in op:
+        raise ValueError(
+            "setpoint tracking needs the dr channels: build the "
+            "operator with compute_admm_operator_np("
+            "return_setpoint_maps=True)."
         )
     if q is None:
         q = pick_pack_factor(nbox)
@@ -267,14 +340,18 @@ def build_fused_admm_operator(
     f64 = np.float64
     V_theta, V_s, v_c = op["V_theta"], op["V_s"], op["v_c"]
     U_theta, U_s, u_c = op["U_theta"], op["U_s"], op["u_c"]
-    cost_P, cost_q, cost_r = op["cost_P"], op["cost_q"], op["cost_r"]
+    if track:
+        cost_P, cost_q = op["cost_P_ext"], op["cost_q_ext"]
+    else:
+        cost_P, cost_q = op["cost_P"], op["cost_q"]
+    cost_r = op["cost_r"]
     # PSD factor of the joint cost quadratic: P = Lc Lc^T.
     evals, V = np.linalg.eigh(0.5 * (cost_P + cost_P.T))
     Lc = V * np.sqrt(np.clip(evals, 0.0, None))  # (nxi, nxi)
     Lc_th = Lc[:n_theta]  # theta rows
-    Lc_t = Lc[n_theta:]  # t rows
+    Lc_t = Lc[n_theta : n_theta + nbox]  # t rows
     q_th = cost_q[:n_theta]
-    q_t = cost_q[n_theta:]
+    q_t = cost_q[n_theta : n_theta + nbox]
 
     # --- theta-side maps shared by G_pre (t=0, XLA) and M2 (in-kernel
     # next-solve): given affine theta rows (n_theta, Din) + theta bias.
@@ -429,24 +506,91 @@ def build_fused_admm_operator(
         "lo_vec": jnp.asarray(lo_vec, jnp.float32),
         "hi_vec": jnp.asarray(hi_vec, jnp.float32),
         "M1_3": _stack3(M1),
-        "M2_hi": jnp.asarray(M2_hi, jnp.float32),
-        "b2_hi": jnp.asarray(b2_hi, jnp.float32),
-        "M2lo_3": _stack3(M2_lo),
-        "b2_lo": jnp.asarray(b2_lo, jnp.float32),
+        # Round 5: ONE merged plant/theta matmul. The HIGHEST columns
+        # (s_next, u, y, qth) and the 3-pass columns (vc', zth') were
+        # two dots on the same operand; the explicit 6-pass stack
+        # expresses BOTH at f32-grade accuracy in a single dispatch
+        # with a dense 6x-stacked contraction (fewer padded MACs than
+        # the two separate dots -- see _stack6).
+        "M2_6": _stack6(
+            jnp.concatenate(
+                [jnp.asarray(M2_hi, jnp.float32),
+                 jnp.asarray(M2_lo, jnp.float32)], axis=1
+            )
+        ),
+        "b2": jnp.concatenate(
+            [jnp.asarray(b2_hi, jnp.float32),
+             jnp.asarray(b2_lo, jnp.float32)]
+        ),
         "u_lo_out": jnp.asarray(u_lo_out, jnp.float32),
         "u_hi_out": jnp.asarray(u_hi_out, jnp.float32),
         # 2-pass exact segment sum, same stacked-dot trick (the 0/1
         # matrix is exact in bf16).
         "Seg_2": jnp.concatenate([Seg_bf, Seg_bf], axis=0),
     }
+    if track:
+        # Host f64 dr-channel maps for compute_setpoint_adds (never
+        # enter the kernel; the adds they produce do).
+        ops["_track"] = {
+            "V_r": np.asarray(op["V_r"], f64),
+            "U_r_nb": np.asarray(op["U_r"], f64)[: nb * m],
+            "q_dr": np.asarray(cost_q[n_theta + nbox :], f64),
+            "Lc_dr": np.asarray(Lc[n_theta + nbox :], f64),
+            "r_bar": np.asarray(op["r_bar"], f64),
+        }
     return ops, dims
 
 
-def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int]):
+def compute_setpoint_adds(ops, dims: FusedADMMDims, setpoints):
+    """Per-block additive channels for a setpoint schedule (host f64
+    -> device f32): row t is ``[pre_add (Mw) | vc_add (Wb) | zth_add
+    (Wz)]`` for ``dr_t = r_t - r_bar``. The cross and pure dr terms of
+    the cost ride the EXTENDED z features (``zth_add = Lc_dr' dr``)
+    plus one scalar (``q_dr . dr``), so the in-kernel cost stays the
+    same factored quadratic."""
+    import numpy as np
+
+    tk = ops["_track"]
+    q, seg, nbox, nxi = dims.q, dims.seg, dims.nbox, dims.nxi
+    nb, m = dims.nb, dims.m
+    Mw, Wb, Wz = dims.Mw, dims.Wb, dims.Wz
+    sp = np.asarray(setpoints, np.float64)
+    if sp.ndim == 1:
+        sp = sp[None]
+    dr = sp - tk["r_bar"]
+    n_sp = dr.shape[0]
+    u_add = dr @ tk["U_r_nb"].T  # (n_sp, nb*m)
+    q_add = dr @ tk["q_dr"]  # (n_sp,)
+    vc_add = dr @ tk["V_r"].T  # (n_sp, nbox)
+    z_add = dr @ tk["Lc_dr"]  # (n_sp, nxi)
+    adds = np.zeros((n_sp, Mw + Wb + Wz))
+    for j in range(q):
+        adds[:, j * nb * m : (j + 1) * nb * m] = u_add
+        adds[:, q * nb * m + j] = q_add
+        adds[:, Mw + j * seg : Mw + j * seg + nbox] = vc_add
+        adds[:, Mw + Wb + j * nxi : Mw + Wb + (j + 1) * nxi] = z_add
+    return jnp.asarray(adds, jnp.float32)
+
+
+def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int],
+                     pipeline: int = 1):
     """Pure-jnp math of ONE solve block: ADMM iterations + extraction
     + plant step + next-solve theta maps. Shared verbatim by the
     Pallas kernel and the XLA twin (same operators, same precision
-    schedule -> same numbers up to accumulation order)."""
+    schedule -> same numbers up to accumulation order).
+
+    ``pipeline``: split the block's rows into this many INDEPENDENT
+    chains inside the iteration loop. Each chain's VPU update (relax +
+    clip + dual) serializes against its own matmul, but the chains
+    have no cross dependencies, so Mosaic's scheduler can run chain
+    B's matmul on the MXU while chain A's update runs on the VPU --
+    the iteration loop's VPU time (measured ~1/3 of its wall at
+    pipeline=1, docs/PERF.md roofline) hides behind MXU work. Row
+    slicing does not change any row's math, but the backend may pick
+    a different gemm accumulation order per shape (measured ~2e-9
+    drift on CPU), so cross-pipeline results agree to the parity
+    budget rather than bitwise; kernel and twin SHARE the pipeline
+    value, so kernel-vs-twin stays bit-identical."""
     q, seg, nbox = dims.q, dims.seg, dims.nbox
     nb, m, p = dims.nb, dims.m, dims.p
     Mw, Wb, Wz, S = dims.Mw, dims.Wb, dims.Wz, dims.S
@@ -457,37 +601,66 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int]):
     OFF_UTH = q * S
     OFF_Y = OFF_UTH + qnbm
     OFF_QTH = OFF_Y + qnbp
+    Whi = OFF_QTH + q
     n1, n3, n6 = iters
 
     lo_vec, hi_vec = ops["lo_vec"], ops["hi_vec"]
 
-    def block_math(s_flat, pre, vc, zth, sa, wa, w_tile):
+    def block_math(s_flat, pre, vc, zth, sa, wa, w_tile, adds=None):
+        if adds is not None:
+            # Setpoint-delta channels: per-block additive adjustments
+            # to the carried theta-side maps (broadcast over rows).
+            pre = pre + adds[:Mw]
+            vc = vc + adds[Mw : Mw + Wb]
+            zth = zth + adds[Mw + Wb :]
+        rows = sa.shape[0]
+        n_chain = pipeline if rows % pipeline == 0 else 1
+        rb = rows // n_chain
+
         def iter_body(prec):
             def body(_, carry):
-                s, w, _, _ = carry
-                d = s - w
-                if prec == 1:
-                    v = _dot1(d.astype(jnp.bfloat16), ops["Vop_1"])
-                elif prec == 3:
-                    v = _dot3(d, ops["Vop_3"])
-                else:
-                    v = _dot6(d, ops["Vop_f32"])
-                v = v + vc
-                vh = alpha * v + (1.0 - alpha) * s
-                s_new = jnp.clip(vh + w, lo_vec, hi_vec)
-                w_new = w + vh - s_new
-                return (s_new, w_new, jnp.abs(v - s_new),
-                        jnp.abs(s_new - s))
+                new = []
+                # One tuple entry per chain; the chains' dots/updates
+                # are mutually independent within a single loop body.
+                for j, (s, w, _, _) in enumerate(carry):
+                    d = s - w
+                    if prec == 1:
+                        v = _dot1(d.astype(jnp.bfloat16), ops["Vop_1"])
+                    elif prec == 3:
+                        v = _dot3(d, ops["Vop_3"])
+                    else:
+                        v = _dot6(d, ops["Vop_f32"])
+                    v = v + vc[j * rb : (j + 1) * rb]
+                    vh = alpha * v + (1.0 - alpha) * s
+                    s_new = jnp.clip(vh + w, lo_vec, hi_vec)
+                    w_new = w + vh - s_new
+                    # Residual inputs (v, s_prev) are CARRIED, not
+                    # reduced: the |.| and per-slot maxes run once
+                    # after the loop instead of every iteration.
+                    new.append((s_new, w_new, v, s))
+                return tuple(new)
             return body
 
-        zeros = jnp.zeros_like(sa)
-        carry = (sa, wa, zeros, zeros)
+        carry = tuple(
+            (
+                sa[j * rb : (j + 1) * rb],
+                wa[j * rb : (j + 1) * rb],
+                jnp.zeros((rb, Wb), sa.dtype),
+                jnp.zeros((rb, Wb), sa.dtype),
+            )
+            for j in range(n_chain)
+        )
         for prec, cnt in ((1, n1), (3, n3), (6, n6)):
             if cnt:
                 carry = jax.lax.fori_loop(
                     0, cnt, iter_body(prec), carry
                 )
-        s, w, rpv, rdv = carry
+        s = jnp.concatenate([c[0] for c in carry], axis=0)
+        w = jnp.concatenate([c[1] for c in carry], axis=0)
+        v_last = jnp.concatenate([c[2] for c in carry], axis=0)
+        s_prev = jnp.concatenate([c[3] for c in carry], axis=0)
+        rpv = jnp.abs(v_last - s)
+        rdv = jnp.abs(s - s_prev)
         t_vec = s - w
         m1 = _dot3(t_vec, ops["M1_3"])
         u_raw = pre[:, :qnbm] + m1[:, :qnbm]
@@ -522,15 +695,15 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int]):
             axis=1,
         )
         in2 = jnp.concatenate([s_flat, u_app, w_tile], axis=1)
-        hi = _dot6(in2, ops["M2_hi"]) + ops["b2_hi"]
-        lo = _dot3(in2, ops["M2lo_3"]) + ops["b2_lo"]
-        s_next = hi[:, : q * S]
-        y = hi[:, OFF_Y : OFF_Y + qnbp]
+        hilo = _dot6s(in2, ops["M2_6"]) + ops["b2"]
+        s_next = hilo[:, : q * S]
+        y = hilo[:, OFF_Y : OFF_Y + qnbp]
         new_pre = jnp.concatenate(
-            [hi[:, OFF_UTH : OFF_UTH + qnbm], hi[:, OFF_QTH:]], axis=1
+            [hilo[:, OFF_UTH : OFF_UTH + qnbm],
+             hilo[:, OFF_QTH:Whi]], axis=1
         )
-        new_vc = lo[:, :Wb]
-        new_zth = lo[:, Wb:]
+        new_vc = hilo[:, Whi : Whi + Wb]
+        new_zth = hilo[:, Whi + Wb :]
         # Single TRANSPOSED output tile (out_w, rows): a time-leading
         # HBM buffer with a narrow lane dim would pad 128/out_w-fold
         # under the TPU's (8,128) tile layout (measured: 6 GB of pure
@@ -543,7 +716,8 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int]):
 
 
 def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
-                      batch_block: int, interpret: bool):
+                      batch_block: int, interpret: bool,
+                      pipeline: int = 1, track: bool = False):
     """The Pallas kernel: grid (packed-batch blocks, solve blocks),
     solve state carried in VMEM scratch across the time dimension."""
     q, S, Wb, Mw, Wz = dims.q, dims.S, dims.Wb, dims.Mw, dims.Wz
@@ -553,8 +727,8 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
 
     op_names = [
         "Vop_f32", "Vop_1", "Vop_3", "lo_vec", "hi_vec",
-        "M1_3", "M2_hi", "b2_hi", "M2lo_3",
-        "b2_lo", "u_lo_out", "u_hi_out", "Seg_2",
+        "M1_3", "M2_6", "b2",
+        "u_lo_out", "u_hi_out", "Seg_2",
     ]
     operators = [ops[k] for k in op_names]
 
@@ -562,13 +736,16 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
 
     def kernel(*refs):
         op_refs = refs[: len(op_names)]
+        n_in = 7 + (1 if track else 0)
+        ins = refs[len(op_names) : len(op_names) + n_in]
         (s0_ref, pre0_ref, vc0_ref, zth0_ref, sa0_ref, wa0_ref,
-         W_ref) = refs[len(op_names) : len(op_names) + 7]
+         W_ref) = ins[:7]
+        adds_ref = ins[7] if track else None
         (OUT_ref, sfin_ref, safin_ref, wafin_ref) = refs[
-            len(op_names) + 7 : len(op_names) + 11
+            len(op_names) + n_in : len(op_names) + n_in + 4
         ]
         (s_scr, pre_scr, vc_scr, zth_scr, sa_scr, wa_scr) = refs[
-            len(op_names) + 11 :
+            len(op_names) + n_in + 4 :
         ]
         local_ops = {k: r[:] for k, r in zip(op_names, op_refs)}
         t = pl.program_id(1)
@@ -586,10 +763,12 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
         # block_math closes over an ops dict; inside the kernel the
         # operators arrive as VMEM refs, so rebuild the closure over
         # the ref reads (views, no copies).
-        math_fn = _make_block_math(local_ops, dims, iters)
+        math_fn = _make_block_math(local_ops, dims, iters,
+                                   pipeline=pipeline)
         (out_t, s_next, new_pre, new_vc, new_zth, sa, wa) = math_fn(
             s_scr[:], pre_scr[:], vc_scr[:], zth_scr[:], sa_scr[:],
             wa_scr[:], W_ref[0].T,
+            adds=adds_ref[0] if track else None,
         )
         OUT_ref[0] = out_t
         s_scr[:] = s_next
@@ -607,7 +786,7 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
 
     op_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def run(s0p, pre0, vc0, zth0, sa0, wa0, W_packed):
+    def run(s0p, pre0, vc0, zth0, sa0, wa0, W_packed, adds=None):
         Bq = s0p.shape[0]
         bbq = min(batch_block, Bq)
         if Bq % bbq:
@@ -634,6 +813,13 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
             # in HBM (see block_math's out_t note).
             bspec((1, qnbp, bbq), lambda b, t: (t, 0, b)),
         ]
+        extra_in = ()
+        if track:
+            # Per-block setpoint adds, shared across batch rows.
+            in_specs.append(
+                bspec((1, Mw + Wb + Wz), lambda b, t: (t, 0))
+            )
+            extra_in = (adds,)
         out_specs = (
             bspec((1, out_w, bbq), lambda b, t: (t, 0, b)),
             carry_spec(qS),
@@ -662,27 +848,42 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
             out_specs=out_specs,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
-        )(*operators, s0p, pre0, vc0, zth0, sa0, wa0, W_packed)
+        )(*operators, s0p, pre0, vc0, zth0, sa0, wa0, W_packed,
+          *extra_in)
 
     return run
 
 
-def _make_admm_twin(ops, dims: FusedADMMDims, iters, n_blocks: int):
+def _make_admm_twin(ops, dims: FusedADMMDims, iters, n_blocks: int,
+                    pipeline: int = 1, track: bool = False):
     """XLA lax.scan twin: identical math (same packed operators, same
     precision schedule)."""
-    block_math = _make_block_math(ops, dims, iters)
+    block_math = _make_block_math(ops, dims, iters, pipeline=pipeline)
 
-    def run(s0p, pre0, vc0, zth0, sa0, wa0, W_packed):
-        def step(carry, w_tile_t):
+    def run(s0p, pre0, vc0, zth0, sa0, wa0, W_packed, adds=None):
+        def step(carry, xs):
+            w_tile_t, adds_t = xs
             s_flat, pre, vc, zth, sa, wa = carry
             (out_t, s_next, new_pre, new_vc, new_zth, s, w) = (
-                block_math(s_flat, pre, vc, zth, sa, wa, w_tile_t.T)
+                block_math(s_flat, pre, vc, zth, sa, wa, w_tile_t.T,
+                           adds=adds_t)
             )
             return (s_next, new_pre, new_vc, new_zth, s, w), out_t
 
         carry0 = (s0p, pre0, vc0, zth0, sa0, wa0)
+        xs = (W_packed, adds) if track else (W_packed, None)
+        if not track:
+            def step(carry, w_tile_t):  # noqa: F811 - non-track twin
+                s_flat, pre, vc, zth, sa, wa = carry
+                (out_t, s_next, new_pre, new_vc, new_zth, s, w) = (
+                    block_math(s_flat, pre, vc, zth, sa, wa,
+                               w_tile_t.T)
+                )
+                return (s_next, new_pre, new_vc, new_zth, s, w), out_t
+
+            xs = W_packed
         (s_fin, _, _, _, sa_fin, wa_fin), OUT = jax.lax.scan(
-            step, carry0, W_packed
+            step, carry0, xs
         )
         return OUT, s_fin, sa_fin, wa_fin
 
@@ -704,6 +905,8 @@ def make_fused_admm_rollout(
     backend: str = "pallas",
     interpret: bool = False,
     tol: float = 1e-5,
+    pipeline: int = 1,
+    setpoints=None,
 ):
     """Build the fused batched ADMM closed-loop rollout.
 
@@ -728,6 +931,20 @@ def make_fused_admm_rollout(
         backend: "pallas" (kernel) or "xla" (scan twin, same math).
         interpret: run the kernel in interpreter mode (CPU tests).
         tol: residual tolerance for the emitted ``converged`` lanes.
+        pipeline: independent row chains inside the iteration loop
+            (overlaps one chain's VPU update with another's MXU
+            matmul; bit-identical across values -- see
+            :func:`_make_block_math`).
+        setpoints: optional setpoint schedule for kernel-speed
+            retargeting (requires ``admm_op`` built with
+            ``return_setpoint_maps=True``): absolute ``[u_s; y_s]``
+            rows, shape ``(n_blocks, m+p)`` (one per solve block) or
+            ``(m+p,)`` (constant). Enters the kernel as per-block
+            ADDITIVE channels on the carried theta-side maps; the
+            ADMM state warm-starts ACROSS setpoint changes (the
+            residual lanes report any retarget transient honestly).
+            The reference retargets only by re-running its whole init
+            pipeline (direct_data_driven_mpc_controller.py:945-982).
 
     Returns ``run(x0s, u_pasts, y_pasts, Ws, solver_state0=None) ->
     ClosedLoopResult`` (jit-safe; pass ``solver_state0=(s, w)`` with
@@ -736,8 +953,10 @@ def make_fused_admm_rollout(
     from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
     from direct_data_driven_mpc_tpu.qp.admm import ADMMState
 
+    track = setpoints is not None
     ops, dims = build_fused_admm_operator(
-        plant, admm_op, n, m, p, n_mpc_step=n_mpc_step, q=q
+        plant, admm_op, n, m, p, n_mpc_step=n_mpc_step, q=q,
+        track=track,
     )
     nb = dims.nb
     n_blocks = math.ceil(n_steps / nb)
@@ -745,12 +964,30 @@ def make_fused_admm_rollout(
     qq, seg, nbox = dims.q, dims.seg, dims.nbox
     S, ns = dims.S, dims.ns
 
+    if track:
+        import numpy as np
+
+        sp = np.asarray(setpoints, np.float64)
+        if sp.ndim == 1:
+            sp = np.tile(sp[None], (n_blocks, 1))
+        if sp.shape != (n_blocks, m + p):
+            raise ValueError(
+                f"setpoints shape {sp.shape} != ({n_blocks}, {m + p}) "
+                f"(one [u_s; y_s] row per solve block)"
+            )
+        adds = compute_setpoint_adds(ops, dims, sp)
+    else:
+        adds = None
+
     if backend == "pallas":
         engine = _make_admm_kernel(
-            ops, dims, iters, n_blocks, batch_block, interpret
+            ops, dims, iters, n_blocks, batch_block, interpret,
+            pipeline=pipeline, track=track,
         )
     else:
-        engine = _make_admm_twin(ops, dims, iters, n_blocks)
+        engine = _make_admm_twin(
+            ops, dims, iters, n_blocks, pipeline=pipeline, track=track
+        )
 
     def run(x0s, u_pasts, y_pasts, Ws, solver_state0=None):
         B = x0s.shape[0]
@@ -784,6 +1021,13 @@ def make_fused_admm_rollout(
                 Bq, qq * seg
             )
 
+        # Cold start / solve-0 maps honor the first block's setpoint
+        # (the engine re-applies the add per block, so vc0 passes
+        # through unmodified).
+        vc0_eff = (
+            vc0 + adds[0, dims.Mw : dims.Mw + dims.Wb] if track
+            else vc0
+        )
         if solver_state0 is None:
             sa0 = jnp.zeros((Bq, dims.Wb), f32)
             wa0 = jnp.zeros((Bq, dims.Wb), f32)
@@ -795,7 +1039,7 @@ def make_fused_admm_rollout(
                 def cold_body(_, carry):
                     s, w = carry
                     d = s - w
-                    v = vc0 + _dot3(d, ops["Vop_3"])
+                    v = vc0_eff + _dot3(d, ops["Vop_3"])
                     vh = alpha * v + (1.0 - alpha) * s
                     s_new = jnp.clip(
                         vh + w, ops["lo_vec"], ops["hi_vec"]
@@ -825,8 +1069,10 @@ def make_fused_admm_rollout(
             .reshape(n_blocks, qq * nb * dims.p, Bq)
         )
 
-        OUT, s_fin, sa_fin, wa_fin = engine(
-            s0p, pre0, vc0, zth0, sa0, wa0, W_packed
+        OUT, s_fin, sa_fin, wa_fin = (
+            engine(s0p, pre0, vc0, zth0, sa0, wa0, W_packed, adds)
+            if track
+            else engine(s0p, pre0, vc0, zth0, sa0, wa0, W_packed)
         )
         qnbm = qq * nb * dims.m
         qnbp = qq * nb * dims.p

@@ -84,6 +84,7 @@ def compute_admm_operator_np(
     rho: float | None = None,
     alpha: float = 1.6,
     return_alpha_maps: bool = False,
+    return_setpoint_maps: bool = False,
 ) -> dict:
     """Host float64 pre-factorization of the ADMM z-step (single source
     of truth for both the numpy and the device paths).
@@ -92,6 +93,22 @@ def compute_admm_operator_np(
     affine maps extracting the alpha block of the z-step solution
     (``a_c, A_theta, A_s``) -- used by the NON_CONVEX slack solver
     (qp/nonconvex.py) whose bound update needs ``||alpha||_1``.
+
+    With ``return_setpoint_maps=True`` the dict additionally carries
+    the setpoint-delta channels for kernel-speed retargeting (the
+    reference re-runs its whole init pipeline per setpoint change,
+    direct_data_driven_mpc_controller.py:945-982): the z-step solution
+    and the objective are jointly affine/quadratic in ``(theta, t,
+    dr)`` with ``dr = r - r_bar`` (both g and b_const are LINEAR in
+    ``r = [u_s; y_s]``, solution_map.setpoint_channels_np), so
+
+    - ``V_r`` / ``U_r``: dr channels of the box rows / input rows,
+    - ``cost_P_ext`` / ``cost_q_ext``: the cost quadratic/linear over
+      the EXTENDED feature vector ``[theta; t; dr]``. ``cost_P_ext``
+      is PSD by construction: the stage cost is jointly convex in
+      ``(z, r)`` (a sum of squared differences), so it factors like
+      the base quadratic,
+    - ``r_bar``: the spec's baked setpoints the dr channel centers on.
     """
     if spec.sigma_bound is None:
         raise ValueError(
@@ -152,8 +169,52 @@ def compute_admm_operator_np(
             "A_s": Z_s[a_sl],
         }
 
+    out_setpoint = {}
+    if return_setpoint_maps:
+        from direct_data_driven_mpc_tpu.qp.solution_map import (
+            setpoint_channels_np,
+        )
+
+        Gamma, S_r, R0, r_bar = setpoint_channels_np(spec)
+        mp = Gamma.shape[1]
+        RHS_r = np.zeros((nz + nc, mp))
+        RHS_r[:nz] = -Gamma
+        RHS_r[nz:] = S_r
+        Z_r = kkt_multi_solve(K, RHS_r)[:nz]
+        # Joint cost over zhat = [z; dr]: 0.5 zhat' Hhat zhat +
+        # ghat' zhat + cost_r, with Hhat PSD (stage cost jointly convex
+        # in (z, r)); compose with the affine zhat(xi_ext),
+        # xi_ext = [theta; t; dr].
+        Hhat = np.zeros((nz + mp, nz + mp))
+        Hhat[:nz, :nz] = H
+        Hhat[:nz, nz:] = Gamma
+        Hhat[nz:, :nz] = Gamma.T
+        Hhat[nz:, nz:] = 2.0 * R0
+        ghat = np.concatenate([g, 2.0 * R0 @ r_bar])
+        Zhat = np.zeros((nz + mp, n_theta + nbox + mp))
+        Zhat[:nz, : n_theta + nbox] = Z_full
+        Zhat[:nz, n_theta + nbox :] = Z_r
+        Zhat[nz:, n_theta + nbox :] = np.eye(mp)
+        zhat_c = np.concatenate([z_c, np.zeros(mp)])
+        cost_P_ext = 0.5 * Zhat.T @ (Hhat @ Zhat)
+        cost_P_ext = 0.5 * (cost_P_ext + cost_P_ext.T)
+        cost_q_ext = Zhat.T @ (Hhat @ zhat_c + ghat)
+        # Self-check: the extended quadratic restricted to dr = 0 must
+        # reproduce the base maps exactly.
+        nb_ = n_theta + nbox
+        assert np.allclose(cost_P_ext[:nb_, :nb_], cost_P, atol=1e-10)
+        assert np.allclose(cost_q_ext[:nb_], cost_q, atol=1e-10)
+        out_setpoint = {
+            "V_r": E @ Z_r,
+            "U_r": Z_r[u_sl],
+            "cost_P_ext": cost_P_ext,
+            "cost_q_ext": cost_q_ext,
+            "r_bar": r_bar,
+        }
+
     return {
         **out_alpha,
+        **out_setpoint,
         "v_c": E @ z_c,
         "V_theta": E @ Z_theta,
         "V_s": E @ Z_s,

@@ -155,17 +155,17 @@ class TrackingMap(NamedTuple):
     cost_P: jax.Array  # (n_theta+m+p, n_theta+m+p)
 
 
-def compute_tracking_operator_np(spec: QPSpec) -> dict:
-    """Host float64 derivation of the setpoint-parametric operator.
-
-    Derives the setpoint channels (Gamma into g, S_r into b, R0 into
-    r0) from the spec's structure and VERIFIES each against the baked
-    ``spec.g`` / ``spec.b_const`` / ``spec.r0`` at the spec's own
-    setpoints -- a wrong derivation cannot ship silently.
-    """
+def setpoint_channels_np(spec: QPSpec):
+    """Host float64 derivation of the QP's setpoint channels: ``g(r) =
+    Gamma r``, ``b_const(r) = S_r r``, ``r0(r) = r' R0 r`` for ``r =
+    [u_s; y_s]`` (assembly.py:149-185 -- both g and b_const vanish at
+    r = 0). Each channel is VERIFIED against the baked ``spec.g`` /
+    ``spec.b_const`` / ``spec.r0`` at the spec's own setpoints -- a
+    wrong derivation cannot ship silently. Returns ``(Gamma, S_r, R0,
+    r_bar)``."""
     d = spec.dims
     n, m, p, L = d.n, d.m, d.p, d.L
-    nz, nc, nt = spec.nz, spec.nc, d.n_theta
+    nz, nc = spec.nz, spec.nc
     if spec.u_s is None or spec.y_s is None:
         raise ValueError(
             "spec does not carry its baked setpoints (built by an old "
@@ -208,6 +208,16 @@ def compute_tracking_operator_np(spec: QPSpec) -> dict:
             "setpoint-quadratic derivation of r0 does not reproduce "
             "the assembled spec.r0"
         )
+    return Gamma, S_r, R0, r_bar
+
+
+def compute_tracking_operator_np(spec: QPSpec) -> dict:
+    """Host float64 derivation of the setpoint-parametric operator
+    (setpoint channels via :func:`setpoint_channels_np`)."""
+    d = spec.dims
+    m, p = d.m, d.p
+    nz, nc, nt = spec.nz, spec.nc, d.n_theta
+    Gamma, S_r, R0, r_bar = setpoint_channels_np(spec)
 
     # One KKT multi-solve over the joint parameter xi = [theta; r].
     K = np.zeros((nz + nc, nz + nc))

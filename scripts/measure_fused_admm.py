@@ -49,6 +49,7 @@ def main():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
     backend = sys.argv[3] if len(sys.argv) > 3 else "pallas"
     bbq = int(os.environ.get("ADMM_BB", "256"))
+    pipe = int(os.environ.get("ADMM_PIPE", "1"))
     iters_env = os.environ.get("ADMM_ITERS")
     T = 400
     n, m, p, N, L = 4, 2, 2, 400, 30
@@ -96,7 +97,8 @@ def main():
     if iters_env:
         iters = tuple(int(x) for x in iters_env.split(","))
     log(f"device: {jax.devices()[0]}, variant={variant}, B={B}, "
-        f"backend={backend}, iters={iters}, cold={cold}, bbq={bbq}")
+        f"backend={backend}, iters={iters}, cold={cold}, bbq={bbq}, "
+        f"pipeline={pipe}")
 
     plant_params = plant_model.as_params(dtype=np.float32)
     dtype = jnp.float32
@@ -115,7 +117,8 @@ def main():
         n=n, m=m, p=p, n_steps=T, iters=iters, cold_iters=cold, tol=tol
     )
     run = make_fused_admm_rollout(
-        plant_params, op, backend=backend, batch_block=bbq, **kw
+        plant_params, op, backend=backend, batch_block=bbq,
+        pipeline=pipe, **kw
     )
 
     @jax.jit
