@@ -64,7 +64,10 @@ from jax.experimental.pallas import tpu as pltpu
 from direct_data_driven_mpc_tpu.ops.lti import LTIParams
 from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
     _bf16_split,
+    _bf16_split3,
     _ceil128,
+    _dot6s,
+    _stack6,
 )
 
 
@@ -99,69 +102,6 @@ def _dot3(a_f32, b3):
     a_hi, a_lo = _bf16_split(a_f32)
     a3 = jnp.concatenate([a_hi, a_lo, a_hi], axis=1)
     return _dot1(a3, b3)
-
-
-def _dot6(a, b):
-    """HIGHEST (bf16_6x) -- the parity-bound precision."""
-    return jax.lax.dot_general(
-        a, b,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
-def _bf16_split3(x):
-    """(hi, mid, lo) bf16 triple with ``hi + mid + lo == x`` EXACTLY
-    for normal f32: bit-masked truncation splits (8 + 8 + 8 mantissa
-    bits cover f32's 24), same elision-proof construction as
-    :func:`_bf16_split` (each masked chunk is exactly
-    bf16-representable and each f32 subtraction is exact)."""
-    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
-    hi32 = jax.lax.bitcast_convert_type(
-        xi & jnp.int32(-65536), jnp.float32  # 0xFFFF0000
-    )
-    r = x - hi32
-    ri = jax.lax.bitcast_convert_type(r, jnp.int32)
-    mid32 = jax.lax.bitcast_convert_type(
-        ri & jnp.int32(-65536), jnp.float32
-    )
-    lo = (r - mid32).astype(jnp.bfloat16)
-    return hi32.astype(jnp.bfloat16), mid32.astype(jnp.bfloat16), lo
-
-
-def _stack6(b_f32):
-    """Operator-side prep for :func:`_dot6s`: the 6-pass (f32-grade)
-    decomposition stacked into ONE contraction
-    ``[b_hi; b_mid; b_hi; b_lo; b_mid; b_hi]`` (bf16). Pairs with the
-    operand stack ``[a_hi | a_hi | a_mid | a_hi | a_mid | a_lo]`` to
-    give the six leading cross terms hh + hm + mh + hl + mm + lh --
-    the dropped ml/lm/ll terms are O(2^-32) relative, i.e. the same
-    accuracy class as ``Precision.HIGHEST``, but ONE MXU dispatch with
-    no padding waste per pass (a 48-lane operand 6-stacks to 288
-    lanes in one contraction instead of six 128-padded passes)."""
-    import numpy as np
-
-    b = np.asarray(b_f32, np.float32)
-    bi = b.view(np.int32)
-    hi32 = (bi & np.int32(-65536)).view(np.float32)
-    r = b - hi32
-    mid32 = (r.view(np.int32) & np.int32(-65536)).view(np.float32)
-    lo = r - mid32
-    parts = [hi32, mid32, hi32, lo, mid32, hi32]
-    return jnp.concatenate(
-        [jnp.asarray(x).astype(jnp.bfloat16) for x in parts], axis=0
-    )
-
-
-def _dot6s(a_f32, b6):
-    """f32-grade 6-pass decomposition as ONE MXU dot (see
-    :func:`_stack6`)."""
-    a_hi, a_mid, a_lo = _bf16_split3(a_f32)
-    a6 = jnp.concatenate(
-        [a_hi, a_hi, a_mid, a_hi, a_mid, a_lo], axis=1
-    )
-    return _dot1(a6, b6)
 
 
 def _normalize_admm_op(op: dict) -> dict:
@@ -500,9 +440,9 @@ def build_fused_admm_operator(
     ops = {
         "Gpre": jnp.asarray(Gpre, jnp.float32),
         "bpre": jnp.asarray(bpre, jnp.float32),
-        "Vop_f32": jnp.asarray(Vop, jnp.float32),
         "Vop_1": jnp.asarray(Vop, jnp.float32).astype(jnp.bfloat16),
         "Vop_3": _stack3(Vop),
+        "Vop_6": _stack6(jnp.asarray(Vop, jnp.float32)),
         "lo_vec": jnp.asarray(lo_vec, jnp.float32),
         "hi_vec": jnp.asarray(hi_vec, jnp.float32),
         "M1_3": _stack3(M1),
@@ -629,7 +569,11 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int],
                     elif prec == 3:
                         v = _dot3(d, ops["Vop_3"])
                     else:
-                        v = _dot6(d, ops["Vop_f32"])
+                        # f32-grade polish as ONE stacked dot (Mosaic
+                        # lowers Precision.HIGHEST as its own 6-pass
+                        # sequence; the explicit stack is one dispatch
+                        # of the same MACs).
+                        v = _dot6s(d, ops["Vop_6"])
                     v = v + vc[j * rb : (j + 1) * rb]
                     vh = alpha * v + (1.0 - alpha) * s
                     s_new = jnp.clip(vh + w, lo_vec, hi_vec)
@@ -726,7 +670,7 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
     qS = q * S
 
     op_names = [
-        "Vop_f32", "Vop_1", "Vop_3", "lo_vec", "hi_vec",
+        "Vop_6", "Vop_1", "Vop_3", "lo_vec", "hi_vec",
         "M1_3", "M2_6", "b2",
         "u_lo_out", "u_hi_out", "Seg_2",
     ]

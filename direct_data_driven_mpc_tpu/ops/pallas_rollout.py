@@ -408,6 +408,62 @@ def _bf16_split(x):
     return hi, lo
 
 
+def _bf16_split3(x):
+    """(hi, mid, lo) bf16 triple with ``hi + mid + lo == x`` (error
+    O(2^-24) rel): bit-level ROUND-TO-NEAREST splits (add 0x8000 to
+    the raw bits, then mask), the same elision-proof construction as
+    :func:`_bf16_split`. Rounding (vs truncation) matters here: with
+    truncated chunks the 6-pass product's dropped ml/lm terms are
+    O(2^-21) -- measurably below ``Precision.HIGHEST`` over a 400-step
+    recursion -- while rounded chunks put them at O(2^-26). Each
+    rounded chunk is exactly bf16-representable (the +0x8000 carry
+    propagates into the exponent field, never the sign, for finite x)
+    and each f32 residual subtraction is exact (Sterbenz)."""
+    half = jnp.int32(32768)  # 0x8000
+    mask = jnp.int32(-65536)  # 0xFFFF0000
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi32 = jax.lax.bitcast_convert_type((xi + half) & mask, jnp.float32)
+    r = x - hi32
+    ri = jax.lax.bitcast_convert_type(r, jnp.int32)
+    mid32 = jax.lax.bitcast_convert_type(
+        (ri + half) & mask, jnp.float32
+    )
+    lo = (r - mid32).astype(jnp.bfloat16)
+    return hi32.astype(jnp.bfloat16), mid32.astype(jnp.bfloat16), lo
+
+
+def _stack6(b_f32):
+    """Operator-side prep for :func:`_dot6s`: the 6-pass (f32-grade)
+    decomposition stacked into ONE contraction
+    ``[b_hi; b_mid; b_hi; b_lo; b_mid; b_hi]`` (bf16). Pairs with the
+    operand stack ``[a_hi | a_hi | a_mid | a_hi | a_mid | a_lo]`` to
+    give the six leading cross terms hh + hm + mh + hl + mm + lh --
+    the dropped ml/lm/ll terms are O(2^-32) relative, i.e. the same
+    accuracy class as ``Precision.HIGHEST``, but ONE MXU dispatch with
+    no padding waste per pass (a 48-lane operand 6-stacks to 288
+    lanes in one contraction instead of six 128-padded passes).
+    Trace-safe (bit-masked jnp splits, elision-proof -- see
+    :func:`_bf16_split`)."""
+    b_hi, b_mid, b_lo = _bf16_split3(jnp.asarray(b_f32, jnp.float32))
+    return jnp.concatenate(
+        [b_hi, b_mid, b_hi, b_lo, b_mid, b_hi], axis=0
+    )
+
+
+def _dot6s(a_f32, b6):
+    """f32-grade 6-pass decomposition as ONE MXU dot (see
+    :func:`_stack6`)."""
+    a_hi, a_mid, a_lo = _bf16_split3(a_f32)
+    a6 = jnp.concatenate(
+        [a_hi, a_hi, a_mid, a_hi, a_mid, a_lo], axis=1
+    )
+    return jax.lax.dot_general(
+        a6, b6,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def make_pallas_rollout(
     block_map: AffineBlockMap,
     n_outer: int,
@@ -437,9 +493,17 @@ def _make_rollout_from_fused(
     batch_block: int,
     interpret: bool,
     cost_precision: str = "high",
+    stacked_highest: bool = False,
 ):
     """Kernel maker from a prebuilt fused operator (trace-safe: no host
-    numpy -- callable from inside an enclosing jit)."""
+    numpy -- callable from inside an enclosing jit).
+
+    ``stacked_highest=True`` evaluates the parity-bound (HIGHEST)
+    columns as the explicit 6-pass stacked dot (:func:`_stack6` /
+    :func:`_dot6s`) instead of ``Precision.HIGHEST``: same accuracy
+    class and padded MACs, but the operand's bf16 decomposition runs
+    ONCE on the VPU per grid step instead of per pass -- measured win
+    on the big-S configs whose grid steps are conversion-heavy."""
     G, bias, Seg, dims = fused
     S, nw, Ku, Kp, K = (
         dims["S"], dims["nw"], dims["Ku"], dims["Kp"], dims["K"]
@@ -458,14 +522,18 @@ def _make_rollout_from_fused(
     _check_cost_precision(cost_precision)
     split = include_cost and cost_precision != "highest"
 
-    def dot(a, b):
-        return jax.lax.dot_general(
-            a,
-            b,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    if stacked_highest:
+        def dot(a, b6):  # explicit 6-stack (operator pre-stacked)
+            return _dot6s(a, b6)
+    else:
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a,
+                b,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
     def dot1(a, b):  # one native bf16 MXU pass, f32 accumulation
         return jax.lax.dot_general(
@@ -577,64 +645,110 @@ def _make_rollout_from_fused(
         def _():
             sfin_ref[:] = s_next
 
+    def prep_H(op):  # HIGHEST operand prep (see stacked_highest)
+        return _stack6(op) if stacked_highest else op
+
     if not include_cost:
-        operators = (G, bias)
+        operators = (prep_H(G), bias)
         kern_fn = kernel_nocost
     elif split:
         G_par = G[:, :OFF3]
         Z_hi, Z_lo = _bf16_split(G[:, OFF3:])
         Seg_bf = Seg.astype(jnp.bfloat16)
-        operators = (G_par, Z_hi, Z_lo, bias, Seg_bf)
+        operators = (prep_H(G_par), Z_hi, Z_lo, bias, Seg_bf)
         kern_fn = kernel_split
     else:
-        operators = (G, bias, Seg)
+        operators = (prep_H(G), bias, prep_H(Seg))
         kern_fn = kernel
 
     op_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def run(s0_batch, W_packed):
+    def run(s0_batch, W_packed, w_off=None):
+        """``w_off`` (optional traced int32 scalar): rotate the noise
+        by ``w_off`` outer blocks IN THE INDEX MAP (scalar prefetch)
+        -- the amortized harness's per-repetition noise rotation with
+        ZERO data movement. ``kernel(s0, W, off)[t] == kernel(s0,
+        jnp.roll(W, -off, axis=0))[t]`` bit-exactly; a materialized
+        ``jnp.roll`` copies the whole packed-noise buffer per rep
+        (~1 GB at B=262144 -- measured as a large share of the
+        big-batch per-rollout gap, docs/PERF.md)."""
         B = s0_batch.shape[0]
         if B % batch_block:
             raise ValueError(
                 f"B={B} must be a multiple of batch_block={batch_block}."
             )
         grid = (B // batch_block, n_outer)
+        rotate = w_off is not None
 
         def bspec(shape, index_map):
             return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+        def imap(fn):
+            # Under scalar prefetch every index map takes the scalar
+            # ref as a trailing argument.
+            if rotate:
+                return lambda *a: fn(*a[:-1])
+            return fn
 
         out_shapes = [
             jax.ShapeDtypeStruct((n_outer, B, Ku), jnp.float32),
             jax.ShapeDtypeStruct((n_outer, B, Kp), jnp.float32),
         ]
         out_specs = [
-            bspec((1, batch_block, Ku), lambda b, t: (t, b, 0)),
-            bspec((1, batch_block, Kp), lambda b, t: (t, b, 0)),
+            bspec((1, batch_block, Ku), imap(lambda b, t: (t, b, 0))),
+            bspec((1, batch_block, Kp), imap(lambda b, t: (t, b, 0))),
         ]
         if include_cost:
             out_shapes.append(
                 jax.ShapeDtypeStruct((n_outer, B, K), jnp.float32)
             )
             out_specs.append(
-                bspec((1, batch_block, K), lambda b, t: (t, b, 0))
+                bspec((1, batch_block, K), imap(lambda b, t: (t, b, 0)))
             )
         out_shapes.append(jax.ShapeDtypeStruct((B, S), jnp.float32))
-        out_specs.append(bspec((batch_block, S), lambda b, t: (b, 0)))
+        out_specs.append(
+            bspec((batch_block, S), imap(lambda b, t: (b, 0)))
+        )
+        if rotate:
+            w_map = lambda b, t, off: (  # noqa: E731
+                (t + off[0]) % n_outer, b, 0
+            )
+        else:
+            w_map = lambda b, t: (t, b, 0)  # noqa: E731
         in_specs = [op_spec] * len(operators) + [
-            bspec((batch_block, S), lambda b, t: (b, 0)),
-            bspec((1, batch_block, nw), lambda b, t: (t, b, 0)),
+            bspec((batch_block, S), imap(lambda b, t: (b, 0))),
+            bspec((1, batch_block, nw), w_map),
         ]
-        outs = pl.pallas_call(
-            kern_fn,
-            grid=grid,
-            out_shape=tuple(out_shapes),
-            in_specs=in_specs,
-            out_specs=tuple(out_specs),
-            scratch_shapes=[
-                pltpu.VMEM((batch_block, S), jnp.float32),
-            ],
-            interpret=interpret,
-        )(*operators, s0_batch, W_packed)
+        scratch_shapes = [pltpu.VMEM((batch_block, S), jnp.float32)]
+        if rotate:
+            def kern(off_ref, *refs):
+                return kern_fn(*refs)
+
+            outs = pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=grid,
+                    in_specs=in_specs,
+                    out_specs=tuple(out_specs),
+                    scratch_shapes=scratch_shapes,
+                ),
+                out_shape=tuple(out_shapes),
+                interpret=interpret,
+            )(
+                jnp.asarray(w_off, jnp.int32).reshape(1),
+                *operators, s0_batch, W_packed,
+            )
+        else:
+            outs = pl.pallas_call(
+                kern_fn,
+                grid=grid,
+                out_shape=tuple(out_shapes),
+                in_specs=in_specs,
+                out_specs=tuple(out_specs),
+                scratch_shapes=scratch_shapes,
+                interpret=interpret,
+            )(*operators, s0_batch, W_packed)
         if include_cost:
             return outs
         U, Y, s_fin = outs
@@ -1058,6 +1172,7 @@ def make_amortized_pallas_run(
     cost_mode: str = "inkernel",
     cost_rank_rtol: float = 0.0,
     setpoints: jax.Array | None = None,
+    stacked_highest: bool = False,
 ):
     """Amortized-throughput harness for the kernel (same contract as
     ``bench.make_amortized_linear_run``): one jitted call runs ``R``
@@ -1114,6 +1229,7 @@ def make_amortized_pallas_run(
             kernel = _make_rollout_from_fused(
                 fused, n_outer, batch_block=bb, interpret=interpret,
                 cost_precision=cost_precision,
+                stacked_highest=stacked_highest,
             )
         s0, W_packed = _center_and_pack(
             block_map, x0s, u_pasts, y_pasts, Ws, n_outer,
@@ -1122,8 +1238,17 @@ def make_amortized_pallas_run(
 
         def one_rep(i, carry):
             checksum, ok = carry
-            W_i = jnp.roll(W_packed, i, axis=0)
-            U, Y, C, s_fin = kernel(s0, W_i)
+            if backend == "xla":
+                W_i = jnp.roll(W_packed, i, axis=0)
+                U, Y, C, s_fin = kernel(s0, W_i)
+            else:
+                # Index-map rotation (scalar prefetch): bit-identical
+                # to jnp.roll(W_packed, i, axis=0) with ZERO copies --
+                # the materialized roll moved ~1 GB of noise per rep
+                # at B=262144.
+                U, Y, C, s_fin = kernel(
+                    s0, W_packed, w_off=jnp.mod(-i, n_outer)
+                )
             if not include_cost:
                 # The cost post-pass is part of the timed work (it is
                 # part of what a "solve" produces).

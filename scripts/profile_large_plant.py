@@ -83,6 +83,7 @@ def main():
             bb_eff = bb or pick_batch_block(bm, B, include_cost=False)
             kern = jax.jit(_make_rollout_from_fused(
                 fused, n_outer, batch_block=bb_eff, interpret=False,
+                stacked_highest=os.environ.get("LP_STACK6") == "1",
             ))
             try:
                 t = timeit(kern, s0, Wp)

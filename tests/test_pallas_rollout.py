@@ -278,3 +278,111 @@ def test_cost_rank_truncation_bounds():
         1.0,
     ) ** 2
     assert np.abs(c_tr - c_full).max() <= dropped * th_max
+
+
+def test_noise_rotation_index_map_matches_roll():
+    """The scalar-prefetch noise rotation (w_off in the index map) must
+    be BIT-identical to a materialized jnp.roll of the packed noise --
+    the amortized harness's per-rep variation without the ~1 GB/rep
+    copy at headline batch sizes."""
+    from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
+        _build_fused_operator,
+        _center_and_pack,
+        _make_rollout_from_fused,
+    )
+
+    plant, ctrl, rng = _make_setup(n_mpc_step=1)
+    K, n_steps, B = 8, 40, 16
+    bm = build_affine_block_map(
+        plant.as_params(), ctrl._op, n=4, m=2, p=2,
+        solves_per_block=K, dtype=jnp.float32,
+    )
+    n_outer = n_steps // K
+    fused = _build_fused_operator(bm)
+    kernel = _make_rollout_from_fused(
+        fused, n_outer, batch_block=8, interpret=True
+    )
+    x0s = jnp.tile(
+        jnp.asarray(plant.get_state(), jnp.float32)[None], (B, 1)
+    )
+    ups = jnp.tile(
+        jnp.asarray(ctrl.u_past.reshape(4, 2), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    yps = jnp.tile(
+        jnp.asarray(ctrl.y_past.reshape(4, 2), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    Ws = jnp.asarray(
+        0.002 * rng.uniform(-1, 1, (B, n_steps, 2)), jnp.float32
+    )
+    s0, W_packed = _center_and_pack(
+        bm, x0s, ups, yps, Ws, n_outer, K, 0
+    )
+    for i in (0, 1, 3):
+        rolled = kernel(s0, jnp.roll(W_packed, i, axis=0))
+        rotated = kernel(
+            s0, W_packed, w_off=jnp.mod(-jnp.int32(i), n_outer)
+        )
+        for a, b in zip(rolled, rotated):
+            if a is None:
+                continue
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stacked_highest_matches_reference():
+    """stacked_highest=True (explicit one-dispatch 6-pass) must meet
+    the SAME parity budget against the condensed linear engine as the
+    native Precision.HIGHEST kernel (the two differ from each other
+    only by amplified last-bit rounding)."""
+    from direct_data_driven_mpc_tpu.ops.pallas_rollout import (
+        _build_fused_operator,
+        _center_and_pack,
+        _make_rollout_from_fused,
+    )
+
+    plant, ctrl, rng = _make_setup(n_mpc_step=1)
+    K, n_steps, B = 8, 40, 16
+    bm = build_affine_block_map(
+        plant.as_params(), ctrl._op, n=4, m=2, p=2,
+        solves_per_block=K, dtype=jnp.float32,
+    )
+    n_outer = n_steps // K
+    x0s = jnp.tile(
+        jnp.asarray(plant.get_state(), jnp.float32)[None], (B, 1)
+    )
+    ups = jnp.tile(
+        jnp.asarray(ctrl.u_past.reshape(4, 2), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    yps = jnp.tile(
+        jnp.asarray(ctrl.y_past.reshape(4, 2), jnp.float32)[None],
+        (B, 1, 1),
+    )
+    Ws = jnp.asarray(
+        0.002 * rng.uniform(-1, 1, (B, n_steps, 2)), jnp.float32
+    )
+    ref = make_linear_batched_rollout(bm, n_steps=n_steps)(
+        x0s, ups, yps, Ws
+    )
+    s0, W_packed = _center_and_pack(
+        bm, x0s, ups, yps, Ws, n_outer, K, 0
+    )
+    fused = _build_fused_operator(bm)
+    kern = _make_rollout_from_fused(
+        fused, n_outer, batch_block=8, interpret=True,
+        stacked_highest=True,
+    )
+    U, Y, C, s_fin = kern(s0, W_packed)
+    u_sys = np.asarray(U).transpose(1, 0, 2).reshape(B, n_steps, 2)
+    y_sys = np.asarray(Y).transpose(1, 0, 2).reshape(B, n_steps, 2)
+    np.testing.assert_allclose(
+        u_sys, np.asarray(ref.u_sys), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        y_sys, np.asarray(ref.y_sys), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(C).transpose(1, 0, 2).reshape(B, n_steps),
+        np.asarray(ref.costs), rtol=1e-3, atol=1e-5,
+    )
