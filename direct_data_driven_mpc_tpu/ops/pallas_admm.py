@@ -531,20 +531,9 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int],
     drift on CPU), so cross-pipeline results agree to the parity
     budget rather than bitwise; kernel and twin SHARE the pipeline
     value, so kernel-vs-twin stays bit-identical."""
-    q, seg, nbox = dims.q, dims.seg, dims.nbox
-    nb, m, p = dims.nb, dims.m, dims.p
-    Mw, Wb, Wz, S = dims.Mw, dims.Wb, dims.Wz, dims.S
-    alpha = dims.alpha
-    rho = dims.rho
-    qnbm = q * nb * m
-    qnbp = q * nb * p
-    OFF_UTH = q * S
-    OFF_Y = OFF_UTH + qnbm
-    OFF_QTH = OFF_Y + qnbp
-    Whi = OFF_QTH + q
-    n1, n3, n6 = iters
-
-    lo_vec, hi_vec = ops["lo_vec"], ops["hi_vec"]
+    part1 = _make_iter_extract(ops, dims, iters, pipeline)
+    part2 = _make_plant_step(ops, dims)
+    Mw, Wb = dims.Mw, dims.Wb
 
     def block_math(s_flat, pre, vc, zth, sa, wa, w_tile, adds=None):
         if adds is not None:
@@ -553,6 +542,35 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int],
             pre = pre + adds[:Mw]
             vc = vc + adds[Mw : Mw + Wb]
             zth = zth + adds[Mw + Wb :]
+        s, w, u_app, cost, rp, rd = part1(pre, vc, zth, sa, wa)
+        s_next, y, new_pre, new_vc, new_zth = part2(
+            s_flat, u_app, w_tile
+        )
+        # Single TRANSPOSED output tile (out_w, rows): a time-leading
+        # HBM buffer with a narrow lane dim would pad 128/out_w-fold
+        # under the TPU's (8,128) tile layout (measured: 6 GB of pure
+        # padding at B=65536); batch-minor keeps HBM dense at the cost
+        # of one small transpose per solve.
+        out_t = jnp.concatenate([u_app, y, cost, rp, rd], axis=1).T
+        return (out_t, s_next, new_pre, new_vc, new_zth, s, w)
+
+    return block_math
+
+
+def _make_iter_extract(ops, dims: FusedADMMDims, iters, pipeline: int):
+    """ADMM iterations + extraction (M1, cost, residual lanes) of one
+    solve block. ``ops`` may carry a traced ``"rho"`` (the ladder's
+    selected rung) overriding the static ``dims.rho``."""
+    q, seg, nbox = dims.q, dims.seg, dims.nbox
+    Mw, Wb = dims.Mw, dims.Wb
+    alpha = dims.alpha
+    rho = ops.get("rho", dims.rho)
+    qnbm = q * dims.nb * dims.m
+    n1, n3, n6 = iters
+
+    lo_vec, hi_vec = ops["lo_vec"], ops["hi_vec"]
+
+    def iter_extract(pre, vc, zth, sa, wa):
         rows = sa.shape[0]
         n_chain = pipeline if rows % pipeline == 0 else 1
         rb = rows // n_chain
@@ -638,6 +656,23 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int],
             ],
             axis=1,
         )
+        return s, w, u_app, cost, rp, rd
+
+    return iter_extract
+
+
+def _make_plant_step(ops, dims: FusedADMMDims):
+    """The fused plant-step + next-solve theta-map matmul (M2)."""
+    q, S = dims.q, dims.S
+    qnbm = q * dims.nb * dims.m
+    qnbp = q * dims.nb * dims.p
+    OFF_UTH = q * S
+    OFF_Y = OFF_UTH + qnbm
+    OFF_QTH = OFF_Y + qnbp
+    Whi = OFF_QTH + q
+    Wb = dims.Wb
+
+    def plant_step(s_flat, u_app, w_tile):
         in2 = jnp.concatenate([s_flat, u_app, w_tile], axis=1)
         hilo = _dot6s(in2, ops["M2_6"]) + ops["b2"]
         s_next = hilo[:, : q * S]
@@ -648,15 +683,9 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int],
         )
         new_vc = hilo[:, Whi : Whi + Wb]
         new_zth = hilo[:, Whi + Wb :]
-        # Single TRANSPOSED output tile (out_w, rows): a time-leading
-        # HBM buffer with a narrow lane dim would pad 128/out_w-fold
-        # under the TPU's (8,128) tile layout (measured: 6 GB of pure
-        # padding at B=65536); batch-minor keeps HBM dense at the cost
-        # of one small transpose per solve.
-        out_t = jnp.concatenate([u_app, y, cost, rp, rd], axis=1).T
-        return (out_t, s_next, new_pre, new_vc, new_zth, s, w)
+        return s_next, y, new_pre, new_vc, new_zth
 
-    return block_math
+    return plant_step
 
 
 def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
@@ -784,6 +813,15 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
             pltpu.VMEM((bbq, Wb), jnp.float32),
             pltpu.VMEM((bbq, Wb), jnp.float32),
         ]
+        # The 16 MB scoped-VMEM default is a COMPILER limit, not the
+        # hardware's (v5e has 128 MB/core); raising it unlocks batch
+        # blocks past 1024 rows (bbq=2048 measured 28.3 MB of stack).
+        params = (
+            None if interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        )
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -792,6 +830,7 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
             out_specs=out_specs,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
+            compiler_params=params,
         )(*operators, s0p, pre0, vc0, zth0, sa0, wa0, W_packed,
           *extra_in)
 
@@ -1059,6 +1098,479 @@ def make_fused_admm_rollout(
                 B, dims.n, dims.p
             ),
             solver_state=ADMMState(s=sa_b, w=wa_b),
+        )
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Adaptive penalty-ladder fused engine (round 5)
+# ---------------------------------------------------------------------------
+
+_LADDER_STACKED = ("Vop_1", "Vop_3", "Vop_6", "M1_3", "M2_6", "b2")
+
+
+def build_fused_ladder_operator(
+    plant: LTIParams,
+    ladder_op: dict,
+    n: int,
+    m: int,
+    p: int,
+    n_mpc_step: int = 1,
+    q: Optional[int] = None,
+):
+    """Fused-engine operators for the FULL penalty ladder: one
+    single-rung build per rung (reusing :func:`build_fused_admm_operator`
+    verbatim), rung-dependent operators stacked on a leading R axis.
+    The whole stack is small (7 x the single-rung operators ~ 5 MB of
+    VMEM at the four-tank shape) -- the kernel selects the current
+    rung's operators by dynamic leading-dim indexing."""
+    import numpy as np
+
+    rhos = np.asarray(ladder_op["rhos"], np.float64)
+    R = rhos.shape[0]
+    stacked_keys = (
+        "v_c", "V_theta", "V_s", "u_c", "U_theta", "U_s",
+        "cost_P", "cost_q", "cost_r",
+    )
+    per_rung = []
+    dims = None
+    for r in range(R):
+        op_r = {
+            k: np.asarray(ladder_op[k], np.float64)[r : r + 1]
+            for k in stacked_keys
+        }
+        for k in ("lo", "hi", "u_lo", "u_hi", "alpha"):
+            op_r[k] = ladder_op[k]
+        op_r["rhos"] = rhos[r : r + 1]
+        ops_r, dims_r = build_fused_admm_operator(
+            plant, op_r, n, m, p, n_mpc_step=n_mpc_step,
+            q=q if dims is None else dims.q,
+        )
+        per_rung.append(ops_r)
+        if dims is None:
+            dims = dims_r
+    ops = {
+        k: per_rung[0][k]
+        for k in ("Gpre", "bpre", "lo_vec", "hi_vec", "u_lo_out",
+                  "u_hi_out", "Seg_2")
+    }
+    # Gpre/bpre stay per-rung (solve-0 maps at the initial rung).
+    ops["Gpre_all"] = [o["Gpre"] for o in per_rung]
+    ops["bpre_all"] = [o["bpre"] for o in per_rung]
+    ops["Vop_3_all_host"] = [o["Vop_3"] for o in per_rung]
+    for k in _LADDER_STACKED:
+        ops[k + "_all"] = jnp.stack([o[k] for o in per_rung])
+    ops["rhos_list"] = tuple(float(x) for x in rhos)
+    return ops, dims, R
+
+
+def _make_ladder_step(ops, dims: FusedADMMDims, iters, pipeline: int,
+                      R: int, ratio: float, rhos_list):
+    """One ladder solve: iterations + extraction at the CURRENT rung,
+    block-aggregate relative residual balancing (qp/box.py semantics
+    at per-BATCH-BLOCK granularity: the rung is shared by the block's
+    rows; at a fixed point every rung yields the same optimum, so
+    converged solves are exact regardless of the rung path -- the
+    per-lane residual lanes stay honest), dual rescale on a rung
+    change, then the plant-step matmul with the NEW rung's maps."""
+    tiny = jnp.float32(1e-12)
+    ratio_t = jnp.float32(ratio)
+
+    def rho_at(ri):
+        # Branch-free scalar select over the static ladder (R tiny);
+        # avoids 1-D dynamic VMEM reads inside Mosaic.
+        out = jnp.float32(0.0)
+        for i, c in enumerate(rhos_list):
+            out = out + jnp.float32(c) * (ri == i).astype(jnp.float32)
+        return out
+
+    def sel(ri):
+        d = dict(ops)
+        for k in _LADDER_STACKED:
+            d[k] = ops[k + "_all"][ri]
+        d["rho"] = rho_at(ri)
+        return d
+
+    def step(s_flat, pre, vc, zth, sa, wa, ri, w_tile):
+        ops_i = sel(ri)
+        it_ex = _make_iter_extract(ops_i, dims, iters, pipeline)
+        s, w, u_app, cost, rp, rd = it_ex(pre, vc, zth, sa, wa)
+        # OSQP-style RELATIVE balancing, block-aggregated.
+        rho_i = rho_at(ri)
+        rp_blk = jnp.max(rp)
+        rd_blk = jnp.max(rd) / rho_i  # unscaled max|s_new - s|
+        s_mag = jnp.max(jnp.abs(s))
+        w_mag = jnp.max(jnp.abs(w))
+        rp_rel = rp_blk / jnp.maximum(jnp.maximum(s_mag, w_mag), tiny)
+        rd_rel = rd_blk / jnp.maximum(w_mag, tiny)
+        up = (rp_rel > ratio_t * rd_rel) & (ri < R - 1)
+        down = (rd_rel > ratio_t * rp_rel) & (ri > 0)
+        ri_new = ri + up.astype(jnp.int32) - down.astype(jnp.int32)
+        # Unscaled multiplier y = rho*w is rung-invariant.
+        w = w * (rho_i / rho_at(ri_new))
+        ops_n = sel(ri_new)
+        s_next, y_out, new_pre, new_vc, new_zth = _make_plant_step(
+            ops_n, dims
+        )(s_flat, u_app, w_tile)
+        rung = jnp.broadcast_to(
+            ri.astype(jnp.float32), (sa.shape[0], dims.q)
+        )
+        out_t = jnp.concatenate(
+            [u_app, y_out, cost, rp, rd, rung], axis=1
+        ).T
+        return (out_t, s_next, new_pre, new_vc, new_zth, s, w, ri_new)
+
+    return step
+
+
+def _make_ladder_twin(ops, dims, iters, n_blocks, pipeline, R, ratio,
+                      rung0: int):
+    step_fn = _make_ladder_step(
+        ops, dims, iters, pipeline, R, ratio, ops["rhos_list"]
+    )
+
+    def run(s0p, pre0, vc0, zth0, sa0, wa0, W_packed):
+        def body(carry, w_tile_t):
+            s_flat, pre, vc, zth, sa, wa, ri = carry
+            (out_t, s_next, new_pre, new_vc, new_zth, s, w, ri_new) = (
+                step_fn(s_flat, pre, vc, zth, sa, wa, ri, w_tile_t.T)
+            )
+            return (s_next, new_pre, new_vc, new_zth, s, w,
+                    ri_new), out_t
+
+        carry0 = (s0p, pre0, vc0, zth0, sa0, wa0,
+                  jnp.int32(rung0))
+        (s_fin, _, _, _, sa_fin, wa_fin, ri_fin), OUT = jax.lax.scan(
+            body, carry0, W_packed
+        )
+        return OUT, s_fin, sa_fin, wa_fin
+
+    return run
+
+
+def _make_ladder_kernel(ops, dims, iters, n_blocks, batch_block,
+                        interpret, pipeline, R, ratio, rung0: int):
+    q, S, Wb, Mw, Wz = dims.q, dims.S, dims.Wb, dims.Mw, dims.Wz
+    qnbm = q * dims.nb * dims.m
+    qnbp = q * dims.nb * dims.p
+    qS = q * S
+
+    op_names = [k + "_all" for k in _LADDER_STACKED] + [
+        "lo_vec", "hi_vec", "u_lo_out", "u_hi_out", "Seg_2",
+    ]
+    operators = [ops[k] for k in op_names]
+    rhos_list = ops["rhos_list"]
+    out_w = qnbm + qnbp + 4 * q
+
+    def kernel(*refs):
+        op_refs = refs[: len(op_names)]
+        (s0_ref, pre0_ref, vc0_ref, zth0_ref, sa0_ref, wa0_ref,
+         W_ref) = refs[len(op_names) : len(op_names) + 7]
+        (OUT_ref, sfin_ref, safin_ref, wafin_ref) = refs[
+            len(op_names) + 7 : len(op_names) + 11
+        ]
+        (s_scr, pre_scr, vc_scr, zth_scr, sa_scr, wa_scr,
+         ri_scr) = refs[len(op_names) + 11 :]
+        local = {k: r for k, r in zip(op_names, op_refs)}
+        # Stacked operators stay as REFS (the step dynamically indexes
+        # their leading rung dim); shared vectors are read out.
+        local_ops = {}
+        for k in _LADDER_STACKED:
+            local_ops[k + "_all"] = local[k + "_all"]
+        for k in ("lo_vec", "hi_vec", "u_lo_out", "u_hi_out", "Seg_2"):
+            local_ops[k] = local[k][:]
+        t = pl.program_id(1)
+        n_t = pl.num_programs(1)
+
+        @pl.when(t == 0)
+        def _():
+            s_scr[:] = s0_ref[:]
+            pre_scr[:] = pre0_ref[:]
+            vc_scr[:] = vc0_ref[:]
+            zth_scr[:] = zth0_ref[:]
+            sa_scr[:] = sa0_ref[:]
+            wa_scr[:] = wa0_ref[:]
+            ri_scr[0] = jnp.int32(rung0)
+
+        step_fn = _make_ladder_step(
+            local_ops, dims, iters, pipeline, R, ratio, rhos_list
+        )
+        ri = ri_scr[0]
+        (out_t, s_next, new_pre, new_vc, new_zth, s, w, ri_new) = (
+            step_fn(s_scr[:], pre_scr[:], vc_scr[:], zth_scr[:],
+                    sa_scr[:], wa_scr[:], ri, W_ref[0].T)
+        )
+        OUT_ref[0] = out_t
+        s_scr[:] = s_next
+        pre_scr[:] = new_pre
+        vc_scr[:] = new_vc
+        zth_scr[:] = new_zth
+        sa_scr[:] = s
+        wa_scr[:] = w
+        ri_scr[0] = ri_new
+
+        @pl.when(t == n_t - 1)
+        def _():
+            sfin_ref[:] = s_next
+            safin_ref[:] = s
+            wafin_ref[:] = w
+
+    op_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def run(s0p, pre0, vc0, zth0, sa0, wa0, W_packed):
+        Bq = s0p.shape[0]
+        bbq = min(batch_block, Bq)
+        if Bq % bbq:
+            raise ValueError(
+                f"packed batch {Bq} must be a multiple of "
+                f"batch_block={bbq}"
+            )
+        grid = (Bq // bbq, n_blocks)
+
+        def bspec(shape, index_map):
+            return pl.BlockSpec(shape, index_map,
+                                memory_space=pltpu.VMEM)
+
+        def carry_spec(width):
+            return bspec((bbq, width), lambda b, t: (b, 0))
+
+        in_specs = [op_spec] * len(operators) + [
+            carry_spec(qS),
+            carry_spec(Mw),
+            carry_spec(Wb),
+            carry_spec(Wz),
+            carry_spec(Wb),
+            carry_spec(Wb),
+            bspec((1, qnbp, bbq), lambda b, t: (t, 0, b)),
+        ]
+        out_specs = (
+            bspec((1, out_w, bbq), lambda b, t: (t, 0, b)),
+            carry_spec(qS),
+            carry_spec(Wb),
+            carry_spec(Wb),
+        )
+        out_shapes = (
+            jax.ShapeDtypeStruct((n_blocks, out_w, Bq), jnp.float32),
+            jax.ShapeDtypeStruct((Bq, qS), jnp.float32),
+            jax.ShapeDtypeStruct((Bq, Wb), jnp.float32),
+            jax.ShapeDtypeStruct((Bq, Wb), jnp.float32),
+        )
+        scratch_shapes = [
+            pltpu.VMEM((bbq, qS), jnp.float32),
+            pltpu.VMEM((bbq, Mw), jnp.float32),
+            pltpu.VMEM((bbq, Wb), jnp.float32),
+            pltpu.VMEM((bbq, Wz), jnp.float32),
+            pltpu.VMEM((bbq, Wb), jnp.float32),
+            pltpu.VMEM((bbq, Wb), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),  # block's current rung
+        ]
+        params = (
+            None if interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+            compiler_params=params,
+        )(*operators, s0p, pre0, vc0, zth0, sa0, wa0, W_packed)
+
+    return run
+
+
+def make_fused_ladder_rollout(
+    plant: LTIParams,
+    ladder_op: dict,
+    n: int,
+    m: int,
+    p: int,
+    n_steps: int,
+    n_mpc_step: int = 1,
+    iters: Tuple[int, int, int] = (0, 14, 4),
+    cold_iters: int = 60,
+    q: Optional[int] = None,
+    batch_block: int = 256,
+    backend: str = "pallas",
+    interpret: bool = False,
+    tol: float = 1e-5,
+    pipeline: int = 1,
+    balance_ratio: float = 10.0,
+    init_rung: Optional[int] = None,
+):
+    """Fused batched closed-loop rollout with the ADAPTIVE penalty
+    ladder (qp/box.py's default box solver) INSIDE the kernel.
+
+    The single-rung fused engine (:func:`make_fused_admm_rollout`)
+    requires a fixed rho; this engine carries the FULL ladder's
+    pre-factorized operators in VMEM (tiny: R x nbox^2-scale) and
+    residual-balances the rung once per solve at per-BATCH-BLOCK
+    granularity (one rung shared by a block's rows; every rung's fixed
+    point is the same optimum -- qp/box.py module docstring -- so
+    converged solves are exact regardless of rung path, and the
+    per-lane residual/converged lanes report any laggards honestly).
+    The scaled dual rescales by rho_old/rho_new on a rung change.
+
+    Same contract as :func:`make_fused_admm_rollout`; the returned
+    ``solver_state`` is a :class:`~...qp.box.BoxADMMState` whose
+    ``rho_idx`` is the block-shared final rung (per row).
+
+    Reference anchor: the reference supports no input/output
+    constraints at all (its only inequality is the CONVEX slack box,
+    direct_data_driven_mpc_controller.py:658-675); this engine is the
+    throughput path for the beyond-reference general box.
+    """
+    from direct_data_driven_mpc_tpu.control.loop import ClosedLoopResult
+    from direct_data_driven_mpc_tpu.qp.box import BoxADMMState
+
+    ops, dims, R = build_fused_ladder_operator(
+        plant, ladder_op, n, m, p, n_mpc_step=n_mpc_step, q=q
+    )
+    nb = dims.nb
+    n_blocks = math.ceil(n_steps / nb)
+    pad = n_blocks * nb - n_steps
+    qq, seg, nbox = dims.q, dims.seg, dims.nbox
+    S, ns = dims.S, dims.ns
+    rung0 = R // 2 if init_rung is None else int(init_rung)
+    if not 0 <= rung0 < R:
+        raise ValueError(f"init_rung {rung0} outside ladder [0, {R})")
+
+    if backend == "pallas":
+        engine = _make_ladder_kernel(
+            ops, dims, iters, n_blocks, batch_block, interpret,
+            pipeline, R, balance_ratio, rung0,
+        )
+    else:
+        engine = _make_ladder_twin(
+            ops, dims, iters, n_blocks, pipeline, R, balance_ratio,
+            rung0,
+        )
+
+    Gpre0 = ops["Gpre_all"][rung0]
+    bpre0 = ops["bpre_all"][rung0]
+    Vop3_0 = ops["Vop_3_all_host"][rung0]
+
+    def run(x0s, u_pasts, y_pasts, Ws, solver_state0=None):
+        B = x0s.shape[0]
+        if B % qq:
+            raise ValueError(f"B={B} must be a multiple of q={qq}")
+        Bq = B // qq
+        f32 = jnp.float32
+        s0 = jnp.concatenate(
+            [
+                jnp.asarray(x0s, f32).reshape(B, -1),
+                jnp.asarray(u_pasts, f32).reshape(B, -1),
+                jnp.asarray(y_pasts, f32).reshape(B, -1),
+            ],
+            axis=1,
+        )
+        s0p = s0.reshape(Bq, qq * S)
+        pre_all = (
+            jnp.matmul(s0p, Gpre0,
+                       precision=jax.lax.Precision.HIGHEST)
+            + bpre0
+        )
+        pre0 = pre_all[:, : dims.Mw]
+        vc0 = pre_all[:, dims.Mw : dims.Mw + dims.Wb]
+        zth0 = pre_all[:, dims.Mw + dims.Wb :]
+
+        def pack_admm(x):
+            x = jnp.asarray(x, f32)
+            padl = jnp.zeros((B, seg - nbox), f32)
+            return jnp.concatenate([x, padl], axis=1).reshape(
+                Bq, qq * seg
+            )
+
+        if solver_state0 is None:
+            sa0 = jnp.zeros((Bq, dims.Wb), f32)
+            wa0 = jnp.zeros((Bq, dims.Wb), f32)
+            if cold_iters:
+                alpha = dims.alpha
+
+                def cold_body(_, carry):
+                    s, w = carry
+                    d = s - w
+                    v = vc0 + _dot3(d, Vop3_0)
+                    vh = alpha * v + (1.0 - alpha) * s
+                    s_new = jnp.clip(
+                        vh + w, ops["lo_vec"], ops["hi_vec"]
+                    )
+                    return (s_new, w + vh - s_new)
+
+                sa0, wa0 = jax.lax.fori_loop(
+                    0, cold_iters, cold_body, (sa0, wa0)
+                )
+        else:
+            sa0 = pack_admm(solver_state0[0])
+            wa0 = pack_admm(solver_state0[1])
+
+        W_pad = jnp.concatenate(
+            [
+                jnp.asarray(Ws, f32),
+                jnp.zeros((B, pad, dims.p), f32),
+            ],
+            axis=1,
+        )
+        W_packed = (
+            W_pad.reshape(Bq, qq, n_blocks, nb * dims.p)
+            .transpose(2, 1, 3, 0)
+            .reshape(n_blocks, qq * nb * dims.p, Bq)
+        )
+
+        OUT, s_fin, sa_fin, wa_fin = engine(
+            s0p, pre0, vc0, zth0, sa0, wa0, W_packed
+        )
+        qnbm = qq * nb * dims.m
+        qnbp = qq * nb * dims.p
+
+        def unpack_t(x, width):
+            return (
+                x.reshape(n_blocks, qq, width, Bq)
+                .transpose(3, 1, 0, 2)
+                .reshape(B, n_blocks, width)
+            )
+
+        u_sys = unpack_t(OUT[:, :qnbm], nb * dims.m).reshape(
+            B, -1, dims.m
+        )[:, :n_steps]
+        y_sys = unpack_t(
+            OUT[:, qnbm : qnbm + qnbp], nb * dims.p
+        ).reshape(B, -1, dims.p)[:, :n_steps]
+
+        def unpack_scalar(x):
+            return x.transpose(2, 1, 0).reshape(B, n_blocks)
+
+        off = qnbm + qnbp
+        costs = unpack_scalar(OUT[:, off : off + qq])
+        rp = unpack_scalar(OUT[:, off + qq : off + 2 * qq])
+        rd = unpack_scalar(OUT[:, off + 2 * qq : off + 3 * qq])
+        rung = unpack_scalar(OUT[:, off + 3 * qq :])
+        converged = (rp <= tol) & (rd <= tol)
+        s_fin_b = s_fin.reshape(B, S)
+        sa_b = sa_fin.reshape(B, seg)[:, :nbox]
+        wa_b = wa_fin.reshape(B, seg)[:, :nbox]
+        return ClosedLoopResult(
+            u_sys=u_sys,
+            y_sys=y_sys,
+            costs=costs,
+            converged=converged,
+            x_final=s_fin_b[:, :ns],
+            u_past=s_fin_b[:, ns : ns + dims.n * dims.m].reshape(
+                B, dims.n, dims.m
+            ),
+            y_past=s_fin_b[:, ns + dims.n * dims.m :].reshape(
+                B, dims.n, dims.p
+            ),
+            solver_state=BoxADMMState(
+                s=sa_b, w=wa_b,
+                rho_idx=rung[:, -1].astype(jnp.int32),
+            ),
         )
 
     return run

@@ -720,6 +720,15 @@ def _make_rollout_from_fused(
             bspec((1, batch_block, nw), w_map),
         ]
         scratch_shapes = [pltpu.VMEM((batch_block, S), jnp.float32)]
+        # 16 MB scoped VMEM is the compiler default, not the v5e
+        # hardware limit (128 MB/core); raise it so big-S configs can
+        # grow their batch blocks past the 128-512-row wall.
+        params = (
+            None if interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        )
         if rotate:
             def kern(off_ref, *refs):
                 return kern_fn(*refs)
@@ -735,6 +744,7 @@ def _make_rollout_from_fused(
                 ),
                 out_shape=tuple(out_shapes),
                 interpret=interpret,
+                compiler_params=params,
             )(
                 jnp.asarray(w_off, jnp.int32).reshape(1),
                 *operators, s0_batch, W_packed,
@@ -748,6 +758,7 @@ def _make_rollout_from_fused(
                 out_specs=tuple(out_specs),
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
+                compiler_params=params,
             )(*operators, s0_batch, W_packed)
         if include_cost:
             return outs

@@ -53,6 +53,10 @@ def main():
     iters_env = os.environ.get("ADMM_ITERS")
     T = 400
     n, m, p, N, L = 4, 2, 2, 400, 30
+    if variant == "convex_q4":  # nbox = p*L = 30 -> pack factor 4
+        L = 15
+    elif variant == "convex_q1":  # nbox = 120 -> pack factor 1
+        N, L = 800, 60
     rng = np.random.default_rng(0)
     plant_model = LTIModel(
         A=np.array(
@@ -94,6 +98,11 @@ def main():
     else:
         op = compute_admm_operator_np(ctrl.spec)
         iters, cold, tol = (4, 5, 2), 24, 1e-5
+    from direct_data_driven_mpc_tpu.ops.pallas_admm import (
+        pick_pack_factor,
+    )
+    nbox = np.asarray(op["v_c"]).shape[-1]
+    log(f"nbox={nbox}, q={pick_pack_factor(nbox)}")
     if iters_env:
         iters = tuple(int(x) for x in iters_env.split(","))
     log(f"device: {jax.devices()[0]}, variant={variant}, B={B}, "

@@ -61,7 +61,13 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    for K, bbs in ((50, (None, 64, 256)), (25, (None,)), (10, (None,))):
+    import ast
+    sweep = os.environ.get("LP_SWEEP")
+    if sweep:  # e.g. LP_SWEEP="[(25,(512,1024,2048)),(50,(256,512))]"
+        plan = ast.literal_eval(sweep)
+    else:
+        plan = ((50, (None, 64, 256)), (25, (None,)), (10, (None,)))
+    for K, bbs in plan:
         bm = build_linear_engine(
             ctrl, pm.as_params(), solves_per_block=K, dtype=dtype
         )

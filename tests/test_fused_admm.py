@@ -16,6 +16,7 @@ from direct_data_driven_mpc_tpu.ops.lti import LTIParams
 from direct_data_driven_mpc_tpu.ops.pallas_admm import (
     build_fused_admm_operator,
     make_fused_admm_rollout,
+    make_fused_ladder_rollout,
     pick_pack_factor,
 )
 from direct_data_driven_mpc_tpu.qp.admm import compute_admm_operator_np
@@ -608,3 +609,176 @@ def test_fused_admm_pack_factors(L, expected_q):
     np.testing.assert_array_equal(
         np.asarray(rk.u_sys), np.asarray(res.u_sys)
     )
+
+
+def test_fused_ladder_matches_golden(golden):
+    """The ADAPTIVE-ladder fused engine (twin) must reproduce the f64
+    active-set golden on the saturated box -- starting from the
+    DEFAULT middle rung, the block-shared residual balancer must climb
+    to the saturated regime's rung and converge every solve."""
+    ctrl = _golden_controller(golden, "BOX")
+    ladder_op = compute_box_admm_operator_np(
+        ctrl.spec,
+        u_bounds=(-float(golden["u_box"]), float(golden["u_box"])),
+    )  # default 7-rung ladder
+    assert ladder_op["rhos"].shape[0] > 1
+    T = golden["BOX_u"].shape[0]
+    B = 2
+    tile = lambda a: jnp.tile(  # noqa: E731
+        jnp.asarray(a, jnp.float32)[None],
+        (B,) + (1,) * np.asarray(a).ndim,
+    )
+    run = make_fused_ladder_rollout(
+        _plant32(), ladder_op, n=4, m=2, p=2, n_steps=T,
+        iters=BOX_ITERS, cold_iters=60, backend="xla", tol=2e-5,
+    )
+    res = run(
+        tile(golden["x0"]), tile(golden["BOX_u_past0"]),
+        tile(golden["BOX_y_past0"]), tile(golden["w_sys"][:T]),
+    )
+    du = np.abs(np.asarray(res.u_sys) - golden["BOX_u"][None]).max()
+    assert du < 1e-4, du
+    conv = np.asarray(res.converged)
+    # The balancer may spend the first few solves climbing rungs; the
+    # settled trajectory must be fully converged.
+    assert conv[:, 5:].all(), conv.mean()
+    assert np.abs(np.asarray(res.u_sys)).max() <= float(
+        golden["u_box"]
+    ) + 1e-6
+    # The rung actually adapted away from the initial middle rung.
+    assert int(np.asarray(res.solver_state.rho_idx)[0]) != (
+        ladder_op["rhos"].shape[0] // 2
+    )
+
+
+def test_fused_ladder_kernel_bit_identical_to_twin(golden):
+    """Ladder kernel (interpret mode, single batch block so the
+    block-shared rung grouping matches the twin's) == twin bitwise."""
+    ctrl = _golden_controller(golden, "BOX")
+    ladder_op = compute_box_admm_operator_np(
+        ctrl.spec,
+        u_bounds=(-float(golden["u_box"]), float(golden["u_box"])),
+    )
+    T, B = 16, 4
+    tile = lambda a: jnp.tile(  # noqa: E731
+        jnp.asarray(a, jnp.float32)[None],
+        (B,) + (1,) * np.asarray(a).ndim,
+    )
+    args = (
+        tile(golden["x0"]), tile(golden["BOX_u_past0"]),
+        tile(golden["BOX_y_past0"]), tile(golden["w_sys"][:T]),
+    )
+    kw = dict(
+        n=4, m=2, p=2, n_steps=T, iters=BOX_ITERS, cold_iters=60,
+        tol=2e-5, batch_block=B // 2,
+    )
+    twin = make_fused_ladder_rollout(
+        _plant32(), ladder_op, backend="xla", **kw
+    )(*args)
+    kern = make_fused_ladder_rollout(
+        _plant32(), ladder_op, backend="pallas", interpret=True, **kw
+    )(*args)
+    np.testing.assert_array_equal(
+        np.asarray(kern.u_sys), np.asarray(twin.u_sys)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kern.costs), np.asarray(twin.costs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kern.solver_state.rho_idx),
+        np.asarray(twin.solver_state.rho_idx),
+    )
+
+
+def test_fused_ladder_rung_settles_loose_box():
+    """With a LOOSE box (inactive constraint) the balancer must step
+    DOWN from the middle rung toward the curvature-scale rung and
+    converge -- the regime a fixed saturated-rung rho is >100x too
+    stiff for (qp/box.py module docstring)."""
+    rng = np.random.default_rng(0)
+    plant32 = _plant32()
+    n, m, p, N, L = 4, 2, 2, 400, 30
+    u_d = rng.uniform(-1, 1, (N, m))
+    w_d = 0.002 * rng.uniform(-1, 1, (N, p))
+    import numpy as _np
+
+    A = _np.array(
+        [
+            [0.921, 0, 0.041, 0],
+            [0, 0.918, 0, 0.033],
+            [0, 0, 0.924, 0],
+            [0, 0, 0, 0.937],
+        ]
+    )
+    from direct_data_driven_mpc_tpu.models.lti_model import LTIModel
+
+    plant_model = LTIModel(
+        A=A,
+        B=_np.array(
+            [[0.017, 0.001], [0.001, 0.023], [0, 0.061], [0.072, 0]]
+        ),
+        C=_np.array([[1.0, 0, 0, 0], [0, 1, 0, 0]]),
+        D=_np.zeros((2, 2)),
+        eps_max=0.002,
+    )
+    y_d = plant_model.simulate(u_d, w_d, N)
+    ctrl = DirectDataDrivenMPCController(
+        n=n, m=m, p=p, u_d=u_d, y_d=y_d, L=L,
+        Q=3.0 * np.eye(p * L), R=1e-4 * np.eye(m * L),
+        u_s=np.array([[1.0], [1.0]]), y_s=np.array([[0.65], [0.77]]),
+        eps_max=0.002, lamb_alpha=0.1 / 0.002, lamb_sigma=1000.0,
+        c=1.0,
+        slack_var_constraint_type=SlackVarConstraintTypes.NONE,
+        controller_type=DataDrivenMPCType.ROBUST, n_mpc_step=1,
+    )
+    # Box at +-30: NEVER active (the unconstrained transient peaks at
+    # |u| ~ 21), so the ladder solves the unconstrained QP.
+    ladder_op = compute_box_admm_operator_np(
+        ctrl.spec, u_bounds=(-30.0, 30.0)
+    )
+    T, B = 40, 2
+    tile = lambda a: jnp.tile(  # noqa: E731
+        jnp.asarray(a, jnp.float32)[None],
+        (B,) + (1,) * np.asarray(a).ndim,
+    )
+    args = (
+        tile(plant_model.get_state()),
+        tile(ctrl.u_past.reshape(n, m)),
+        tile(ctrl.y_past.reshape(n, p)),
+        tile(0.002 * rng.uniform(-1, 1, (T, p))),
+    )
+    kw = dict(
+        n=4, m=2, p=2, n_steps=T, iters=(0, 14, 4), cold_iters=60,
+        backend="xla", tol=2e-5,
+    )
+    run = make_fused_ladder_rollout(
+        plant_model.as_params(dtype=np.float32), ladder_op, **kw
+    )
+    res = run(*args)
+    R = ladder_op["rhos"].shape[0]
+    # The balancer walks DOWN from the middle rung toward the
+    # curvature-scale rung (one balance step per solve), the regime a
+    # fixed saturated-rung rho is >100x too stiff for.
+    assert int(np.asarray(res.solver_state.rho_idx)[0]) < R // 2
+    assert np.asarray(res.converged)[:, 10:].all()
+    # Started AT the right rung (no walk) with a transient-sized
+    # iteration budget (the closed-loop transient moves theta fast, so
+    # the warm start is far off for the first few solves), every solve
+    # converges and the trajectory matches the EXACT unconstrained
+    # condensed solve.
+    from direct_data_driven_mpc_tpu.control.linear_engine import (
+        build_linear_engine,
+        make_linear_batched_rollout,
+    )
+
+    bm = build_linear_engine(ctrl, plant_model.as_params())
+    ref = make_linear_batched_rollout(bm, n_steps=T)(*args)
+    kw2 = dict(kw, iters=(0, 60, 8))
+    res2 = make_fused_ladder_rollout(
+        plant_model.as_params(dtype=np.float32), ladder_op,
+        init_rung=0, **kw2,
+    )(*args)
+    assert np.asarray(res2.converged).all()
+    assert np.abs(
+        np.asarray(res2.u_sys) - np.asarray(ref.u_sys)
+    ).max() < 1e-4
