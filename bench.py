@@ -36,8 +36,16 @@ headline config-4 metric unless a config is selected):
                                       # the variant the reference
                                       # cannot solve at all
     python bench.py four_tank_box     # saturated actuator box
-                                      # |u| <= 0.85 via the adaptive
-                                      # penalty-ladder ADMM (qp/box.py)
+                                      # |u| <= 0.85, fixed-rho fused
+                                      # ADMM kernel
+    python bench.py four_tank_ladder  # the same box with the ADAPTIVE
+                                      # penalty ladder INSIDE the
+                                      # kernel (qp/box.py default)
+    python bench.py four_tank_admm_tracking  # setpoint schedule
+                                      # through the fused ADMM engine
+                                      # (dr channels)
+    python bench.py four_tank_convex_q4  # L=15 -> pack factor 4
+    python bench.py long_horizon_convex  # L=60 -> pack factor 1
     python bench.py pallas            # the Pallas fused-rollout kernel
                                       # on the four-tank workload
     python bench.py tracking          # time-varying setpoint schedule
@@ -234,18 +242,22 @@ def _controller(N, L, plant_model, rng, n, m, p, u_s, y_s):
     )
 
 
-def run_fused_admm_config(box: bool = False) -> dict:
-    """Round-4 fused ADMM engine (ops/pallas_admm.py) on the CONVEX
-    slack / saturated-input-box variants at a saturating batch: one
-    Pallas grid step per solve, ADMM warm start + plant state resident
-    in VMEM, batch-packed (q=2) iteration matmuls, mixed-precision
-    iteration schedule. Falls back to the XLA twin (identical math) if
-    the Mosaic compile fails, then to the generic scan engine.
+def run_fused_admm_config(box: bool = False,
+                          variant: str | None = None) -> dict:
+    """Fused ADMM engine (ops/pallas_admm.py) on the iterative solver
+    variants at a saturating batch: one Pallas grid step per solve,
+    ADMM warm start + plant state resident in VMEM, batch-packed
+    iteration matmuls, mixed-precision iteration schedule. Falls back
+    to the XLA twin (identical math) if the Mosaic compile fails, then
+    to the generic scan engine.
 
-    Measured round 4 (published in BASELINE.md): convex 102.2M
-    solves/s at B=65536 (2.0x the round-3 generic engine), 100%
-    converged lanes, kernel within 8.1e-6 of the f64 active-set
-    golden on-chip.
+    Variants (round 5): ``convex`` (q=2 CONVEX slack), ``box``
+    (saturated |u|<=0.85, fixed rho), ``ladder`` (the ADAPTIVE
+    penalty-ladder box INSIDE the kernel, make_fused_ladder_rollout),
+    ``convex_q4`` (L=15 -> nbox=30, pack factor 4), ``convex_q1``
+    (long-horizon L=60 -> nbox=120, pack factor 1), ``tracking``
+    (4-phase setpoint schedule through the fused ADMM engine's
+    dr channels).
     """
     import jax
     import jax.numpy as jnp
@@ -256,6 +268,7 @@ def run_fused_admm_config(box: bool = False) -> dict:
     from direct_data_driven_mpc_tpu.models.lti_model import LTIModel
     from direct_data_driven_mpc_tpu.ops.pallas_admm import (
         make_fused_admm_rollout,
+        make_fused_ladder_rollout,
     )
     from direct_data_driven_mpc_tpu.parallel.batch import draw_noise_batch
     from direct_data_driven_mpc_tpu.qp.admm import (
@@ -269,8 +282,14 @@ def run_fused_admm_config(box: bool = False) -> dict:
         SlackVarConstraintTypes,
     )
 
+    if variant is None:
+        variant = "box" if box else "convex"
     B, T = 65536, 400
     n, m, p, N, L = 4, 2, 2, 400, 30
+    if variant == "convex_q4":
+        L = 15  # nbox = p*L = 30 -> pack factor 4
+    elif variant == "convex_q1":
+        N, L = 800, 60  # nbox = 120 -> pack factor 1
     rng = np.random.default_rng(0)
     plant_model = LTIModel(
         A=np.array(
@@ -293,7 +312,7 @@ def run_fused_admm_config(box: bool = False) -> dict:
     y_d = plant_model.simulate(u_d, w_d, N)
     slack = (
         SlackVarConstraintTypes.NONE
-        if box
+        if variant in ("box", "ladder")
         else SlackVarConstraintTypes.CONVEX
     )
     ctrl = DirectDataDrivenMPCController(
@@ -304,9 +323,10 @@ def run_fused_admm_config(box: bool = False) -> dict:
         slack_var_constraint_type=slack,
         controller_type=DataDrivenMPCType.ROBUST, n_mpc_step=1,
     )
-    if box:
-        # Fixed rho (the saturated-regime rung): the fused engine needs
-        # a single rung; the saturation is permanently active here.
+    setpoints = None
+    if variant == "box":
+        # Fixed rho (the saturated-regime rung): the single-rung fused
+        # engine; the saturation is permanently active here.
         op = compute_box_admm_operator_np(
             ctrl.spec, u_bounds=(-0.85, 0.85), rho=1.0
         )
@@ -315,12 +335,40 @@ def run_fused_admm_config(box: bool = False) -> dict:
         # golden); (0,12,2) is the 100%-converged minimum + margin.
         iters, cold, tol = (0, 14, 4), 60, 2e-5
         cfg_name = "four_tank_box"
+    elif variant == "ladder":
+        # The ADAPTIVE penalty ladder (qp/box.py's default) inside the
+        # kernel: starts at the middle rung and residual-balances to
+        # the saturated regime; extra margin iterations cover the
+        # rung-walk transient.
+        op = compute_box_admm_operator_np(
+            ctrl.spec, u_bounds=(-0.85, 0.85)
+        )
+        iters, cold, tol = (0, 16, 4), 80, 2e-5
+        cfg_name = "four_tank_ladder"
+    elif variant == "tracking":
+        op = compute_admm_operator_np(
+            ctrl.spec, return_setpoint_maps=True
+        )
+        iters, cold, tol = (4, 6, 2), 24, 1e-5
+        cfg_name = "four_tank_admm_tracking"
+        # 4-phase schedule around the baked setpoints (same shape as
+        # the condensed tracking config): scaling an equilibrium pair
+        # keeps it an equilibrium.
+        r_bar = np.asarray(op["r_bar"])
+        phases = np.array([1.0, 0.85, 1.1, 0.95])
+        setpoints = np.repeat(
+            phases[:, None] * r_bar[None], T // 4, axis=0
+        )
     else:
         # (4,4,2) is the 100%-converged minimum vs the golden; one
         # 3-pass margin iteration added.
         op = compute_admm_operator_np(ctrl.spec)
         iters, cold, tol = (4, 5, 2), 24, 1e-5
-        cfg_name = "four_tank_convex"
+        cfg_name = {
+            "convex": "four_tank_convex",
+            "convex_q4": "four_tank_convex_q4",
+            "convex_q1": "long_horizon_convex",
+        }[variant]
 
     dtype = jnp.float32
     plant_params = plant_model.as_params(dtype=np.float32)
@@ -336,13 +384,33 @@ def run_fused_admm_config(box: bool = False) -> dict:
     Ws = draw_noise_batch(jax.random.key(0), B, T, p, 0.002, dtype=dtype)
     kw = dict(
         n=n, m=m, p=p, n_steps=T, iters=iters, cold_iters=cold, tol=tol,
-        batch_block=512,
+        # Round-5 sweep (convex, on-chip): 512 -> 102.5M, 1024 ->
+        # 112.1M, 2048 -> 116.3M, 4096 -> 118.0M solves/s -- bigger
+        # batch blocks amortize per-grid-step overhead; unlocked by
+        # raising the scoped-VMEM limit past the 16 MB default.
+        batch_block=4096,
     )
 
     def make_amortized(backend):
-        run = make_fused_admm_rollout(
-            plant_params, op, backend=backend, **kw
-        )
+        if variant == "ladder":
+            run = make_fused_ladder_rollout(
+                plant_params, op, backend=backend, **kw
+            )
+        elif variant == "tracking":
+            run = make_fused_admm_rollout(
+                plant_params, op, backend=backend,
+                setpoints=setpoints, **kw
+            )
+        else:
+            run = make_fused_admm_rollout(
+                plant_params, op, backend=backend, **kw
+            )
+
+        # The ladder's residual balancer walks at most one rung per
+        # solve from the init rung, so the first few solves are a
+        # DOCUMENTED adaptation transient (see make_fused_ladder_rollout);
+        # the settled trajectory must be 100% converged.
+        conv_from = 10 if variant == "ladder" else 0
 
         @jax.jit
         def amortized(x0s, ups, yps, Ws, R):
@@ -353,7 +421,9 @@ def run_fused_admm_config(box: bool = False) -> dict:
                     checksum + jnp.sum(res.costs[:, -1])
                     + jnp.sum(res.u_sys) + jnp.sum(res.y_sys)
                 )
-                frac = jnp.mean(res.converged.astype(jnp.float32))
+                frac = jnp.mean(
+                    res.converged[:, conv_from:].astype(jnp.float32)
+                )
                 conv = conv & jnp.isfinite(checksum) & (frac == 1.0)
                 return (checksum, conv)
 
@@ -856,6 +926,14 @@ def run_config(config: str) -> dict:
         return run_convex_config(nonconvex=True)
     if config == "four_tank_box":
         return run_fused_admm_config(box=True)
+    if config == "four_tank_ladder":
+        return run_fused_admm_config(variant="ladder")
+    if config == "four_tank_admm_tracking":
+        return run_fused_admm_config(variant="tracking")
+    if config == "four_tank_convex_q4":
+        return run_fused_admm_config(variant="convex_q4")
+    if config == "long_horizon_convex":
+        return run_fused_admm_config(variant="convex_q1")
     if config == "four_tank_convex_generic":
         return run_convex_config()  # the pre-round-4 generic engine
     if config == "four_tank_box_generic":

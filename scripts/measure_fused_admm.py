@@ -79,7 +79,7 @@ def main():
     y_d = plant_model.simulate(u_d, w_d, N)
     slack = (
         SlackVarConstraintTypes.NONE
-        if variant == "box"
+        if variant in ("box", "ladder")
         else SlackVarConstraintTypes.CONVEX
     )
     ctrl = DirectDataDrivenMPCController(
@@ -90,11 +90,27 @@ def main():
         slack_var_constraint_type=slack,
         controller_type=DataDrivenMPCType.ROBUST, n_mpc_step=1,
     )
+    setpoints = None
     if variant == "box":
         op = compute_box_admm_operator_np(
             ctrl.spec, u_bounds=(-0.85, 0.85), rho=1.0
         )
         iters, cold, tol = (0, 14, 4), 60, 2e-5
+    elif variant == "ladder":
+        op = compute_box_admm_operator_np(
+            ctrl.spec, u_bounds=(-0.85, 0.85)
+        )
+        iters, cold, tol = (0, 16, 4), 80, 2e-5
+    elif variant == "tracking":
+        op = compute_admm_operator_np(
+            ctrl.spec, return_setpoint_maps=True
+        )
+        iters, cold, tol = (4, 6, 2), 24, 1e-5
+        r_bar = np.asarray(op["r_bar"])
+        phases = np.array([1.0, 0.85, 1.1, 0.95])
+        setpoints = np.repeat(
+            phases[:, None] * r_bar[None], T // 4, axis=0
+        )
     else:
         op = compute_admm_operator_np(ctrl.spec)
         iters, cold, tol = (4, 5, 2), 24, 1e-5
@@ -125,10 +141,20 @@ def main():
     kw = dict(
         n=n, m=m, p=p, n_steps=T, iters=iters, cold_iters=cold, tol=tol
     )
-    run = make_fused_admm_rollout(
-        plant_params, op, backend=backend, batch_block=bbq,
-        pipeline=pipe, **kw
-    )
+    if variant == "ladder":
+        from direct_data_driven_mpc_tpu.ops.pallas_admm import (
+            make_fused_ladder_rollout,
+        )
+
+        run = make_fused_ladder_rollout(
+            plant_params, op, backend=backend, batch_block=bbq,
+            pipeline=pipe, **kw
+        )
+    else:
+        run = make_fused_admm_rollout(
+            plant_params, op, backend=backend, batch_block=bbq,
+            pipeline=pipe, setpoints=setpoints, **kw
+        )
 
     @jax.jit
     def amortized(x0s, ups, yps, Ws, R):
@@ -170,11 +196,19 @@ def main():
         f"{B * T * R / best:,.0f} amortized; all-converged={bool(ok)}")
 
     if backend == "pallas":
-        # Small-slice parity probe vs the XLA twin on-chip.
+        # Small-slice parity probe vs the XLA twin on-chip. (Ladder
+        # note: the twin's rung is whole-batch-shared vs the kernel's
+        # per-batch-block, so du is a tolerance probe, not bitwise.)
         Bp = 2048
-        twin = make_fused_admm_rollout(
-            plant_params, op, backend="xla", **kw
-        )
+        if variant == "ladder":
+            twin = make_fused_ladder_rollout(
+                plant_params, op, backend="xla", **kw
+            )
+        else:
+            twin = make_fused_admm_rollout(
+                plant_params, op, backend="xla",
+                setpoints=setpoints, **kw
+            )
         rk = jax.jit(run)(x0s[:Bp], ups[:Bp], yps[:Bp], Ws[:Bp])
         rt = jax.jit(twin)(x0s[:Bp], ups[:Bp], yps[:Bp], Ws[:Bp])
         du = float(jnp.abs(rk.u_sys - rt.u_sys).max())
