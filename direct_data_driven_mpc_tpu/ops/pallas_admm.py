@@ -741,7 +741,7 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
         (out_t, s_next, new_pre, new_vc, new_zth, sa, wa) = math_fn(
             s_scr[:], pre_scr[:], vc_scr[:], zth_scr[:], sa_scr[:],
             wa_scr[:], W_ref[0].T,
-            adds=adds_ref[0] if track else None,
+            adds=adds_ref[0, 0] if track else None,
         )
         OUT_ref[0] = out_t
         s_scr[:] = s_next
@@ -788,11 +788,15 @@ def _make_admm_kernel(ops, dims: FusedADMMDims, iters, n_blocks: int,
         ]
         extra_in = ()
         if track:
-            # Per-block setpoint adds, shared across batch rows.
+            # Per-block setpoint adds, shared across batch rows. The
+            # singleton middle dim keeps the block's LAST TWO dims
+            # equal to the array's (Mosaic's tiling rule rejects a
+            # (1, width) block of a (n_blocks, width) array when width
+            # is not 128-aligned).
             in_specs.append(
-                bspec((1, Mw + Wb + Wz), lambda b, t: (t, 0))
+                bspec((1, 1, Mw + Wb + Wz), lambda b, t: (t, 0, 0))
             )
-            extra_in = (adds,)
+            extra_in = (adds.reshape(adds.shape[0], 1, -1),)
         out_specs = (
             bspec((1, out_w, bbq), lambda b, t: (t, 0, b)),
             carry_spec(qS),
