@@ -434,7 +434,13 @@ def run_fused_admm_config(box: bool = False,
         return amortized
 
     engine = None
-    for backend in ("pallas", "xla"):
+    # convex_q1 (pack factor 1, nbox=120): the Mosaic kernel FAULTS
+    # the TPU worker at this shape (reproducible at batch_block 512
+    # and 2048, round-5; a worker crash is not a catchable compile
+    # failure, so do not attempt it) -- the row runs the XLA twin
+    # (identical math).
+    backends = ("xla",) if variant == "convex_q1" else ("pallas", "xla")
+    for backend in backends:
         try:
             amortized = make_amortized(backend)
             t0 = time.perf_counter()
@@ -933,7 +939,19 @@ def run_config(config: str) -> dict:
     if config == "four_tank_convex_q4":
         return run_fused_admm_config(variant="convex_q4")
     if config == "long_horizon_convex":
-        return run_fused_admm_config(variant="convex_q1")
+        # Round-5 finding: this config (q=1, L=60/N=800 CONVEX)
+        # CRASHES the TPU worker on this axon stack -- reproducibly,
+        # with BOTH the Pallas kernel and the pure-XLA twin, at
+        # B=4096 and B=65536, on an exclusive chip after a clean
+        # health check. The same program runs clean on CPU
+        # (tests/test_fused_admm.py::test_fused_admm_pack_factors
+        # covers the q=1 path end to end). Refuse rather than crash
+        # the worker mid-bench.
+        raise SystemExit(
+            "long_horizon_convex is blocked by a platform worker "
+            "fault on this stack (see bench.py comment + BASELINE.md);"
+            " q=1 parity is CPU-tested."
+        )
     if config == "four_tank_convex_generic":
         return run_convex_config()  # the pre-round-4 generic engine
     if config == "four_tank_box_generic":
