@@ -387,8 +387,10 @@ def run_fused_admm_config(box: bool = False,
         # Round-5 sweep (convex, on-chip): 512 -> 102.5M, 1024 ->
         # 112.1M, 2048 -> 116.3M, 4096 -> 118.0M solves/s -- bigger
         # batch blocks amortize per-grid-step overhead; unlocked by
-        # raising the scoped-VMEM limit past the 16 MB default.
-        batch_block=4096,
+        # raising the scoped-VMEM limit past the 16 MB default. The
+        # small-operator q4 variant peaks earlier (2048 -> 182.1M vs
+        # 4096 -> 168.5M measured).
+        batch_block=2048 if variant == "convex_q4" else 4096,
     )
 
     def make_amortized(backend):
