@@ -436,13 +436,7 @@ def run_fused_admm_config(box: bool = False,
         return amortized
 
     engine = None
-    # convex_q1 (pack factor 1, nbox=120): the Mosaic kernel FAULTS
-    # the TPU worker at this shape (reproducible at batch_block 512
-    # and 2048, round-5; a worker crash is not a catchable compile
-    # failure, so do not attempt it) -- the row runs the XLA twin
-    # (identical math).
-    backends = ("xla",) if variant == "convex_q1" else ("pallas", "xla")
-    for backend in backends:
+    for backend in ("pallas", "xla"):
         try:
             amortized = make_amortized(backend)
             t0 = time.perf_counter()

@@ -529,8 +529,12 @@ def _make_block_math(ops, dims: FusedADMMDims, iters: Tuple[int, int, int],
     slicing does not change any row's math, but the backend may pick
     a different gemm accumulation order per shape (measured ~2e-9
     drift on CPU), so cross-pipeline results agree to the parity
-    budget rather than bitwise; kernel and twin SHARE the pipeline
-    value, so kernel-vs-twin stays bit-identical."""
+    budget rather than bitwise. At pipeline=1 (the default --
+    pipelining measured FLAT on-chip, docs/PERF.md round 5)
+    kernel-vs-twin stays bit-identical; at pipeline>1 the kernel
+    splits batch_block rows while the twin splits the whole packed
+    batch, so their chain shapes differ and parity is budget-level,
+    not bitwise."""
     part1 = _make_iter_extract(ops, dims, iters, pipeline)
     part2 = _make_plant_step(ops, dims)
     Mw, Wb = dims.Mw, dims.Wb
@@ -572,7 +576,14 @@ def _make_iter_extract(ops, dims: FusedADMMDims, iters, pipeline: int):
 
     def iter_extract(pre, vc, zth, sa, wa):
         rows = sa.shape[0]
-        n_chain = pipeline if rows % pipeline == 0 else 1
+        if rows % pipeline:
+            raise ValueError(
+                f"pipeline={pipeline} must divide the engine's row "
+                f"count {rows} (kernel: batch_block; twin: the packed "
+                f"batch) -- a silent fallback would leave the kernel "
+                f"and twin on different chain splits."
+            )
+        n_chain = pipeline
         rb = rows // n_chain
 
         def iter_body(prec):
@@ -1154,12 +1165,13 @@ def build_fused_ladder_operator(
         per_rung.append(ops_r)
         if dims is None:
             dims = dims_r
+    # Only genuinely rung-INDEPENDENT operators go in the shared
+    # group; Gpre/bpre bake a rung's theta maps and stay per-rung
+    # (solve-0 selects the initial rung's).
     ops = {
         k: per_rung[0][k]
-        for k in ("Gpre", "bpre", "lo_vec", "hi_vec", "u_lo_out",
-                  "u_hi_out", "Seg_2")
+        for k in ("lo_vec", "hi_vec", "u_lo_out", "u_hi_out", "Seg_2")
     }
-    # Gpre/bpre stay per-rung (solve-0 maps at the initial rung).
     ops["Gpre_all"] = [o["Gpre"] for o in per_rung]
     ops["bpre_all"] = [o["bpre"] for o in per_rung]
     ops["Vop_3_all_host"] = [o["Vop_3"] for o in per_rung]
@@ -1217,8 +1229,11 @@ def _make_ladder_step(ops, dims: FusedADMMDims, iters, pipeline: int,
         s_next, y_out, new_pre, new_vc, new_zth = _make_plant_step(
             ops_n, dims
         )(s_flat, u_app, w_tile)
+        # Emit the POST-balance rung: the carried (and returned) w is
+        # already rescaled to it, and qp/box.py's warm-start contract
+        # pairs rho_idx with the w scaled FOR that rung.
         rung = jnp.broadcast_to(
-            ri.astype(jnp.float32), (sa.shape[0], dims.q)
+            ri_new.astype(jnp.float32), (sa.shape[0], dims.q)
         )
         out_t = jnp.concatenate(
             [u_app, y_out, cost, rp, rd, rung], axis=1
@@ -1444,6 +1459,9 @@ def make_fused_ladder_rollout(
     rung0 = R // 2 if init_rung is None else int(init_rung)
     if not 0 <= rung0 < R:
         raise ValueError(f"init_rung {rung0} outside ladder [0, {R})")
+    # NOTE on warm restarts: the returned solver_state's w is scaled
+    # for solver_state.rho_idx (block-shared). A segmented restart must
+    # resume AT that rung -- run() enforces it below.
 
     if backend == "pallas":
         engine = _make_ladder_kernel(
@@ -1513,6 +1531,30 @@ def make_fused_ladder_rollout(
         else:
             sa0 = pack_admm(solver_state0[0])
             wa0 = pack_admm(solver_state0[1])
+            # The state's w is scaled for ITS rung: a BoxADMMState (or
+            # (s, w, rho_idx) tuple) must resume at that rung -- the
+            # engine's rung is baked statically, so require the caller
+            # to pass init_rung matching the concrete state.
+            state_idx = getattr(solver_state0, "rho_idx", None)
+            if state_idx is None and len(solver_state0) > 2:
+                state_idx = solver_state0[2]
+            if state_idx is not None:
+                import numpy as _np
+
+                try:
+                    idx0 = int(_np.asarray(state_idx).ravel()[0])
+                except (TypeError, jax.errors.TracerArrayConversionError):
+                    raise ValueError(
+                        "solver_state0.rho_idx is traced; pass the "
+                        "concrete rung via init_rung= instead."
+                    ) from None
+                if idx0 != rung0:
+                    raise ValueError(
+                        f"solver_state0 was produced at rung {idx0} "
+                        f"(its w is scaled for that rung) but the "
+                        f"engine was built with init_rung={rung0}; "
+                        f"pass init_rung={idx0}."
+                    )
 
         W_pad = jnp.concatenate(
             [

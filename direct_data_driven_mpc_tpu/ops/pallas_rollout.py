@@ -566,9 +566,15 @@ def _make_rollout_from_fused(
         U_ref[0] = out[:, OFF1 : OFF1 + Ku]
         Y_ref[0] = out[:, OFF2 : OFF2 + Kp]
         z = out[:, OFF3 : OFF3 + W3]
-        C_ref[0] = (dot(z * z, Seg_ref[:]) + out[:, OFF4 : OFF4 + W4])[
-            :, :K
-        ]
+        if stacked_highest:
+            # Seg is 0/1 (exact in bf16): the 2-pass split segment sum
+            # reproduces the f32 result up to accumulation order -- a
+            # 6-stack of a 0/1 matrix would be half zero blocks.
+            zz_hi, zz_lo = _bf16_split(z * z)
+            seg_sum = dot1(zz_hi, Seg_ref[:]) + dot1(zz_lo, Seg_ref[:])
+        else:
+            seg_sum = dot(z * z, Seg_ref[:])
+        C_ref[0] = (seg_sum + out[:, OFF4 : OFF4 + W4])[:, :K]
         s_scr[:] = s_next
 
         @pl.when(t == n_t - 1)
@@ -658,7 +664,8 @@ def _make_rollout_from_fused(
         operators = (prep_H(G_par), Z_hi, Z_lo, bias, Seg_bf)
         kern_fn = kernel_split
     else:
-        operators = (prep_H(G), bias, prep_H(Seg))
+        seg_op = Seg.astype(jnp.bfloat16) if stacked_highest else Seg
+        operators = (prep_H(G), bias, seg_op)
         kern_fn = kernel
 
     op_spec = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -782,3 +782,55 @@ def test_fused_ladder_rung_settles_loose_box():
     assert np.abs(
         np.asarray(res2.u_sys) - np.asarray(ref.u_sys)
     ).max() < 1e-4
+
+
+def test_fused_ladder_segmented_restart_rung_contract(golden):
+    """A segmented ladder restart must resume AT the rung the state's
+    w is scaled for: passing the state with a matching init_rung
+    reproduces the uninterrupted run closely; a mismatched init_rung
+    raises."""
+    ctrl = _golden_controller(golden, "BOX")
+    ladder_op = compute_box_admm_operator_np(
+        ctrl.spec,
+        u_bounds=(-float(golden["u_box"]), float(golden["u_box"])),
+    )
+    T, T1, B = 40, 20, 2
+    tile = lambda a: jnp.tile(  # noqa: E731
+        jnp.asarray(a, jnp.float32)[None],
+        (B,) + (1,) * np.asarray(a).ndim,
+    )
+    W = tile(golden["w_sys"][:T])
+    args = (
+        tile(golden["x0"]), tile(golden["BOX_u_past0"]),
+        tile(golden["BOX_y_past0"]), W,
+    )
+    kw = dict(n=4, m=2, p=2, iters=BOX_ITERS, backend="xla", tol=2e-5)
+    full = make_fused_ladder_rollout(
+        _plant32(), ladder_op, n_steps=T, cold_iters=60, **kw
+    )(*args)
+    seg1 = make_fused_ladder_rollout(
+        _plant32(), ladder_op, n_steps=T1, cold_iters=60, **kw
+    )(*args[:3], W[:, :T1])
+    idx1 = int(np.asarray(seg1.solver_state.rho_idx)[0])
+    seg2 = make_fused_ladder_rollout(
+        _plant32(), ladder_op, n_steps=T - T1, cold_iters=0,
+        init_rung=idx1, **kw,
+    )(
+        seg1.x_final, seg1.u_past, seg1.y_past, W[:, T1:],
+        solver_state0=seg1.solver_state,
+    )
+    joined = np.concatenate(
+        [np.asarray(seg1.u_sys), np.asarray(seg2.u_sys)], axis=1
+    )
+    assert np.abs(joined - np.asarray(full.u_sys)).max() < 1e-4
+    # Mismatched rung must be refused (the w scaling would be off by
+    # a ladder spacing).
+    wrong = (idx1 + 1) % ladder_op["rhos"].shape[0]
+    with pytest.raises(ValueError, match="scaled for that rung"):
+        make_fused_ladder_rollout(
+            _plant32(), ladder_op, n_steps=T - T1, cold_iters=0,
+            init_rung=wrong, **kw,
+        )(
+            seg1.x_final, seg1.u_past, seg1.y_past, W[:, T1:],
+            solver_state0=seg1.solver_state,
+        )
